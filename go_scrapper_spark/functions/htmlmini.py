@@ -1,0 +1,190 @@
+"""Minimal DOM + CSS-selector engine on stdlib ``html.parser``.
+
+lxml/selectolax are not installed in this environment; the extraction
+UDFs (SURVEY.md P1, P5-P7) need goquery-style selector queries over
+page HTML. This implements exactly the selector subset the reference
+uses (reference main.go:355-931): tag, ``.class``, ``tag.class``,
+``[attr="val"]``, ``:contains(text)``, descendant (space) and direct
+child (``>``) combinators.
+
+Pure Python, no Spark imports — runs inside Arrow-batched pandas UDFs
+and in the pure-Python reference model. When lxml/selectolax are
+available in a production image, ``extract.py`` can swap the backend;
+the selector semantics here are the contract.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent", "_text")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # Node or str
+        self.parent = parent
+        self._text = None
+
+    @property
+    def classes(self) -> set[str]:
+        return set((self.attrs.get("class") or "").split())
+
+    def text(self) -> str:
+        """All descendant text concatenated (goquery .Text() semantics)."""
+        if self._text is None:
+            out: list[str] = []
+            stack: list[object] = list(reversed(self.children))
+            while stack:
+                n = stack.pop()
+                if isinstance(n, str):
+                    out.append(n)
+                else:
+                    stack.extend(reversed(n.children))
+            self._text = "".join(out)
+        return self._text
+
+    def iter_desc(self):
+        """All descendant element nodes, document order."""
+        stack: list[Node] = [c for c in reversed(self.children) if isinstance(c, Node)]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+
+
+class _Builder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=False)  # keep entities raw in text
+        self.root = Node("#root", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        if tag not in _VOID_TAGS:
+            self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(Node(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        # walk up to the matching open tag (tolerant of mis-nesting)
+        n = self.cur
+        while n is not None and n.tag != tag:
+            n = n.parent
+        if n is not None and n.parent is not None:
+            self.cur = n.parent
+
+    def handle_data(self, data):
+        if data:
+            self.cur.children.append(data)
+
+    def handle_entityref(self, name):
+        self.cur.children.append(f"&{name};")
+
+    def handle_charref(self, name):
+        self.cur.children.append(f"&#{name};")
+
+
+def parse_html(html: str) -> Node:
+    b = _Builder()
+    b.feed(html)
+    return b.root
+
+
+# --- selector engine --------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"(?P<tag>[a-zA-Z][\w-]*)?"
+    r"(?P<classes>(?:\.[\w-]+)*)"
+    r"(?P<attr>\[[\w-]+=\"[^\"]*\"\])?"
+    r"(?P<contains>:contains\([^)]*\))?"
+)
+
+
+class _Simple:
+    __slots__ = ("tag", "classes", "attr_k", "attr_v", "contains")
+
+    def __init__(self, token: str):
+        m = _SIMPLE_RE.fullmatch(token)
+        if not m:
+            raise ValueError(f"unsupported selector token: {token!r}")
+        self.tag = m.group("tag")
+        self.classes = set(c for c in (m.group("classes") or "").split(".") if c)
+        self.attr_k = self.attr_v = None
+        if m.group("attr"):
+            k, v = m.group("attr")[1:-1].split("=", 1)
+            self.attr_k, self.attr_v = k, v.strip('"')
+        self.contains = None
+        if m.group("contains"):
+            self.contains = m.group("contains")[len(":contains("):-1]
+
+    def match(self, n: Node) -> bool:
+        if self.tag and n.tag != self.tag:
+            return False
+        if self.classes and not self.classes <= n.classes:
+            return False
+        if self.attr_k is not None and n.attrs.get(self.attr_k) != self.attr_v:
+            return False
+        if self.contains is not None and self.contains not in n.text():
+            return False
+        return True
+
+
+def _compile(selector: str) -> list[tuple[str, _Simple]]:
+    """Compile into [(combinator, simple)] where combinator ∈ {desc, child}."""
+    tokens = selector.replace(">", " > ").split()
+    out: list[tuple[str, _Simple]] = []
+    comb = "desc"
+    for tok in tokens:
+        if tok == ">":
+            comb = "child"
+            continue
+        out.append((comb, _Simple(tok)))
+        comb = "desc"
+    return out
+
+
+def select(root: Node, selector: str) -> list[Node]:
+    """All descendant nodes of ``root`` matching ``selector``, doc order."""
+    parts = _compile(selector)
+    current = [root]
+    for comb, simple in parts:
+        nxt: list[Node] = []
+        seen: set[int] = set()
+        for base in current:
+            it = (
+                (c for c in base.children if isinstance(c, Node))
+                if comb == "child"
+                else base.iter_desc()
+            )
+            for n in it:
+                if id(n) not in seen and simple.match(n):
+                    seen.add(id(n))
+                    nxt.append(n)
+        current = nxt
+    return current
+
+
+def child_text(root: Node, selector: str) -> str:
+    """colly e.ChildText: first match, whitespace-trimmed text ('' if none)."""
+    nodes = select(root, selector)
+    return nodes[0].text().strip() if nodes else ""
+
+
+def child_texts(root: Node, selector: str) -> list[str]:
+    return [n.text().strip() for n in select(root, selector)]
+
+
+def child_attr(root: Node, selector: str, attr: str) -> str:
+    nodes = select(root, selector)
+    return nodes[0].attrs.get(attr, "") if nodes else ""
