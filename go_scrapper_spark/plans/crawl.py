@@ -1,0 +1,355 @@
+"""The batch frontier scheduler — superstep crawl loop (SURVEY.md §3.3, §7).
+
+Each superstep (wave) is one declarative Spark plan:
+
+    pending frontier
+      → per-host top-k wave selection (W3, politeness budget A5)
+      → fetch join against the pages table (J4 — the synthetic web;
+        a real deployment swaps this stage for an HTTP mapInPandas)
+      → vectorized extraction, one html read per page (P-series, §2.10)
+      → review finishing (hash P18 already applied; b64 P12 JVM-side)
+      → outlink candidates: robots filter (S9/J5) → in-wave dedup (U2)
+        → anti-join vs frontier/seen (J3)
+      → frontier merge + seen/extracted/metrics deltas
+      → snapshot commit (atomic; resume-idempotent via wave_id stamps)
+
+The loop itself is plain driver Python — deterministic and resumable
+from the last committed snapshot. Each superstep reads its frontier
+from the previous snapshot's parquet, which also truncates lineage (no
+iterative-plan blowup).
+
+Scale design (10^10 frontier): frontier/seen bucketed by host/url hash
+(Iceberg ``bucket()``), wave selection windows align with that
+bucketing, the robots/budget joins broadcast, the fetch join is
+storage-partitioned on url bucket, AQE handles residual skew. The
+frontier merge here is a full rewrite against the parquet-snapshot
+backend; on Iceberg it becomes MERGE INTO (merge-on-read) with
+identical semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_scrapper_spark.functions.extract import extract_pages
+from go_scrapper_spark.functions.urltools import canonicalize_udf
+from go_scrapper_spark.operators.politeness import apply_robots
+from go_scrapper_spark.operators.wave import host_budget, select_wave
+from go_scrapper_spark.sources.storage import SnapshotStore
+
+RUN_TS = 1700000000  # single run-level scrape timestamp (P11 determinism)
+
+SEED_SEQ_STRIDE = 10_000_000  # seq space per task; outlink offsets nest inside
+
+
+@dataclass
+class CrawlConfig:
+    max_attempts: int = 5  # 5 total fetch attempts per url (main.go:1079-1099)
+    window_ms: int = 30_000  # superstep politeness window (A5)
+    default_k: int = 10  # colly Parallelism fallback (collyfunc.go:179)
+    n_buckets: int = 64  # host/url hash buckets (skew + storage partitioning)
+    max_supersteps: int = 1000
+    partition_frontier: bool = False  # partitionBy(host_bucket) on write (scale mode)
+    fail_attempts_fn: object = None  # url -> int; transient-failure injection
+    metrics: bool = True
+
+
+def _fail_udf(fn):
+    @F.pandas_udf(T.IntegerType())
+    def fail_attempts(urls: pd.Series) -> pd.Series:
+        if fn is None:
+            return pd.Series(0, index=urls.index)
+        return urls.map(fn)
+
+    return fail_attempts
+
+
+def _host_col(url_col):
+    return F.lower(F.parse_url(url_col, F.lit("HOST")))
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_df: DataFrame,
+        robots_df: DataFrame,
+        store: SnapshotStore,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        # pages are immutable for the whole run: persist the join side once
+        self.pages = pages_df.select("url", "html").persist()
+        self.robots = robots_df.persist()
+        self.store = store
+        self.budgets = host_budget(robots_df, self.cfg.window_ms, self.cfg.default_k)
+        self._fail_attempts = _fail_udf(self.cfg.fail_attempts_fn)
+
+    # ------------------------------------------------------------------ seeds
+
+    def seed(self, seeds_df: DataFrame) -> None:
+        """Snapshot 0 = the seeded frontier (profile URLs, depth 0).
+        seq = task_seq * stride reproduces the reference's
+        one-task-at-a-time issue order within each host."""
+        frontier = (
+            seeds_df.filter(F.col("profile_key").isNotNull() & (F.col("profile_key") != ""))
+            .select(
+                canonicalize_udf(F.col("profile_key")).alias("url"),
+                (F.col("seq").cast("long") * SEED_SEQ_STRIDE).alias("seq"),
+            )
+            .select(
+                "url",
+                F.xxhash64("url").alias("url_hash"),
+                _host_col(F.col("url")).alias("host"),
+                F.pmod(F.xxhash64(_host_col(F.col("url"))), F.lit(self.cfg.n_buckets))
+                .cast("int")
+                .alias("host_bucket"),
+                F.lit(0).alias("depth"),
+                "seq",
+                F.lit(0).alias("attempt"),
+                F.lit("pending").alias("state"),
+                F.lit(0).cast("long").alias("wave_id"),
+            )
+            .dropDuplicates(["url"])
+        )
+        seen = frontier.select(
+            "url_hash",
+            F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int").alias("bucket"),
+            F.lit(0).cast("long").alias("wave_id"),
+        )
+        self._commit(0, {"frontier": frontier, "seen": seen})
+
+    # --------------------------------------------------------------- superstep
+
+    def run_superstep(self, wave_id: int) -> dict:
+        """One wave. Returns per-wave metric dict; 'fetched'==0 with
+        'pending'==0 means the crawl is complete."""
+        cfg = self.cfg
+        frontier = self.store.read_snapshot_table(wave_id - 1, "frontier")
+        pending = frontier.filter(
+            (F.col("state") == "pending") & (F.col("attempt") < cfg.max_attempts)
+        )
+
+        wave = select_wave(pending, self.budgets, cfg.default_k)
+
+        fetched = (
+            wave.join(self.pages, "url", "left")
+            .withColumn(
+                "status",
+                F.when(F.col("attempt") < self._fail_attempts(F.col("url")), F.lit(503))
+                .when(F.col("html").isNotNull(), F.lit(200))
+                .otherwise(F.lit(404)),
+            )
+            .persist()
+        )
+
+        fetch_log = fetched.select(
+            F.lit(wave_id).cast("long").alias("wave_id"),
+            "host", "url", "depth", "seq", "attempt", "status",
+        )
+
+        ok = fetched.filter(F.col("status") == 200)
+        union = extract_pages(ok).persist()
+
+        reviews = self._finish_reviews(union.filter(F.col("kind") == "review"), wave_id)
+        pagetexts = union.filter(F.col("kind") == "pagetext").select(
+            F.lit(wave_id).cast("long").alias("wave_id"), "url", "text"
+        )
+
+        new_rows = self._new_frontier_rows(union, frontier, wave_id)
+
+        # frontier merge (MERGE INTO on Iceberg; full-rewrite on parquet store)
+        upd = fetched.select(
+            "url",
+            F.when(F.col("status") == 200, F.lit("fetched"))
+            .when(F.col("attempt") + 1 >= cfg.max_attempts, F.lit("failed"))
+            .otherwise(F.lit("pending"))
+            .alias("_new_state"),
+            F.when(F.col("status") == 200, F.col("attempt"))
+            .otherwise(F.col("attempt") + 1)
+            .alias("_new_attempt"),
+        )
+        frontier_next = (
+            frontier.join(upd, "url", "left")
+            .select(
+                "url", "url_hash", "host", "host_bucket", "depth", "seq",
+                F.coalesce("_new_attempt", "attempt").alias("attempt"),
+                F.coalesce("_new_state", "state").alias("state"),
+                F.when(F.col("_new_state").isNotNull(), F.lit(wave_id).cast("long"))
+                .otherwise(F.col("wave_id"))
+                .alias("wave_id"),
+            )
+            .unionByName(new_rows)
+        )
+
+        seen_delta = new_rows.select(
+            "url_hash",
+            F.pmod(F.col("url_hash"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            F.lit(wave_id).cast("long").alias("wave_id"),
+        )
+
+        # one combined agg over the persisted wave + one over the persisted
+        # extraction union (instead of five separate count jobs)
+        frow = fetched.agg(
+            F.count("*").alias("attempted"),
+            F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
+            F.coalesce(
+                F.sum(F.when(F.col("status") == 200, F.length("html"))), F.lit(0)
+            ).alias("bytes"),
+        ).collect()[0]
+        urow = union.agg(
+            F.count(F.when(F.col("kind") == "review", 1)).alias("reviews"),
+            F.count(F.when(F.col("kind") == "outlink", 1)).alias("outlinks"),
+        ).collect()[0]
+        stats = {
+            "wave_id": wave_id,
+            "attempted": frow["attempted"],
+            "fetched": frow["fetched"],
+            "bytes": frow["bytes"],
+            "reviews": urow["reviews"],
+            "outlinks": urow["outlinks"],
+        }
+        metrics_rows = [
+            (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
+        ]
+        metrics = self.spark.createDataFrame(
+            metrics_rows, "wave_id long, metric string, value long"
+        )
+
+        self._commit(
+            wave_id,
+            {
+                "frontier": frontier_next,
+                "fetch_log": fetch_log,
+                "extracted": reviews,
+                "pagetext": pagetexts,
+                "seen": seen_delta,
+                "metrics": metrics,
+            },
+        )
+        union.unpersist()
+        fetched.unpersist()
+        stats["pending"] = None  # filled by run()
+        return stats
+
+    # ------------------------------------------------------------------- run
+
+    def run(self, seeds_df: DataFrame | None = None) -> dict:
+        """Drive supersteps until the frontier drains. Resumes from the
+        last committed snapshot if one exists (seeds_df ignored then)."""
+        t0 = time.time()
+        latest = self.store.latest_wave()
+        if latest is None:
+            assert seeds_df is not None, "fresh run needs seeds"
+            self.seed(seeds_df)
+            latest = 0
+        total = {"supersteps": 0, "fetched": 0, "reviews": 0, "attempted": 0, "bytes": 0}
+        for wave_id in range(latest + 1, self.cfg.max_supersteps + 1):
+            stats = self.run_superstep(wave_id)
+            total["supersteps"] += 1
+            for k in ("fetched", "reviews", "attempted", "bytes"):
+                total[k] += stats[k]
+            if stats["attempted"] == 0:
+                break
+        total["wall_sec"] = time.time() - t0
+        return total
+
+    # --------------------------------------------------------------- helpers
+
+    def _new_frontier_rows(
+        self, union: DataFrame, frontier: DataFrame, wave_id: int
+    ) -> DataFrame:
+        cfg = self.cfg
+        cand = (
+            union.filter(F.col("kind") == "outlink")
+            .select(
+                F.col("out_url").alias("url"),
+                F.col("out_depth").alias("depth"),
+                F.col("out_seq").alias("seq"),
+            )
+            .withColumn("host", _host_col(F.col("url")))
+        )
+        cand = apply_robots(cand, self.robots)
+        # in-wave dedup: first discovery wins (min (depth, seq) per url)
+        cand = (
+            cand.groupBy("url", "host")
+            .agg(F.min(F.struct("depth", "seq")).alias("_ds"))
+            .select("url", "host", F.col("_ds.depth").alias("depth"), F.col("_ds.seq").alias("seq"))
+        )
+        # cross-superstep dedup: anti-join the frontier (exact J3; the
+        # partitioned-bloom pre-filter narrows this at scale — see
+        # operators/seenfilter.py)
+        cand = cand.join(frontier.select("url"), "url", "left_anti")
+        return cand.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            "host",
+            F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)).cast("int").alias("host_bucket"),
+            "depth", "seq",
+            F.lit(0).alias("attempt"),
+            F.lit("pending").alias("state"),
+            F.lit(wave_id).cast("long").alias("wave_id"),
+        )
+
+    def _finish_reviews(self, reviews: DataFrame, wave_id: int) -> DataFrame:
+        """b64 field encoding (P12, main.go:1064-1077) — JVM-side
+        base64 over utf8 bytes; empty fields pass through (Go only
+        encodes non-empty). review_hash was computed pre-b64 in the
+        extractor (hash-then-encode order, main.go:985-987)."""
+
+        def b64(col):
+            return F.when(
+                F.length(col) > 0, F.base64(F.col(col).cast("binary"))
+            ).otherwise(F.col(col))
+
+        return reviews.select(
+            "url",
+            "parent_id", "review_id", "author_id",
+            b64("author_name").alias("author_name"),
+            b64("text").alias("text"),
+            "rating", "source_date",
+            F.unix_timestamp(F.to_timestamp("source_date", "M/d/yyyy")).alias("posted_at"),
+            F.lit(RUN_TS).cast("long").alias("scraped_at"),
+            "not_recommended", "photos",
+            F.transform(
+                "responses",
+                lambda r: F.struct(
+                    F.when(F.length(r["author_name"]) > 0,
+                           F.base64(r["author_name"].cast("binary")))
+                    .otherwise(r["author_name"]).alias("author_name"),
+                    F.when(F.length(r["text"]) > 0, F.base64(r["text"].cast("binary")))
+                    .otherwise(r["text"]).alias("text"),
+                    r["posted_at"].alias("posted_at"),
+                ),
+            ).alias("responses"),
+            "review_hash",
+            "arrival_idx",
+            F.lit(wave_id).cast("long").alias("wave_id"),
+        )
+
+    def ordered_extracted(self) -> DataFrame | None:
+        """Final result ordering (W1): date-desc, with the reference's
+        arrival-order tiebreak made explicit and deterministic
+        (wave, page seq, index-in-page; main.go:984-1007)."""
+        df = self.store.read_appended("extracted")
+        if df is None:
+            return None
+        return df.orderBy(
+            F.col("posted_at").desc(),
+            F.col("wave_id").asc(),
+            F.col("arrival_idx").asc(),
+            F.col("url").asc(),
+        )
+
+    def _commit(self, wave_id: int, tables: dict) -> None:
+        part = (
+            {"frontier": ["host_bucket"]} if self.cfg.partition_frontier else None
+        )
+        self.store.commit(wave_id, tables, partition_by=part)

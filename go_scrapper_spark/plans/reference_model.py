@@ -1,0 +1,125 @@
+"""Executable pure-Python model of the crawl scheduling semantics.
+
+The Go reference has no tests and cannot run here; its scheduling
+semantics are fully specified in SURVEY.md §2-§3 (issue order G1-G3,
+retry ledger F5 with 5 total attempts, politeness budget A5, seen-set
+U2/J3). This model implements those semantics directly — single
+process, explicit loops — and serves as the oracle for the Spark
+engine: given the same synthetic web, seeds, and politeness budget,
+the engine must reproduce the model's exact fetch log
+(wave, host, url, attempt, status) and final frontier/seen state.
+
+The model reuses the *same* pure functions as the engine's executors
+(extract_page, canonicalize_url, fail_attempts_for), so any divergence
+observed in tests is a defect in the engine's distributed plumbing
+(windows, joins, anti-joins, merge), which is exactly what the test
+must catch.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+from go_scrapper_spark.functions.extract import extract_page
+from go_scrapper_spark.functions.urltools import canonicalize_url
+from go_scrapper_spark.sources import synthetic_web as sw
+
+SEED_SEQ_STRIDE = 10_000_000
+
+
+class ModelCrawl:
+    def __init__(self, web_cfg: sw.WebConfig, max_attempts: int = 5,
+                 window_ms: int = 30_000, default_k: int = 10):
+        self.web_cfg = web_cfg
+        self.max_attempts = max_attempts
+        self.pages: dict[str, bytes] = {}
+        for biz in range(web_cfg.n_biz):
+            for url, _ts, body, _t, _l in sw.pages_for_biz(web_cfg, biz):
+                self.pages[url] = body
+        self.robots = {r["host"]: r for r in sw.robots_rows(web_cfg)}
+        self.budgets = {
+            h: min(r["max_parallel"], window_ms // r["crawl_delay_ms"])
+            for h, r in self.robots.items()
+        }
+        self.default_k = default_k
+        self.frontier: dict[str, dict] = {}
+        self.fetch_log: list[tuple] = []
+
+    def seed(self):
+        for s in sw.seed_rows(self.web_cfg):
+            url = canonicalize_url(s["profile_key"])
+            if url and url not in self.frontier:
+                self.frontier[url] = {
+                    "url": url,
+                    "host": (urlsplit(url).hostname or "").lower(),
+                    "depth": 0,
+                    "seq": s["seq"] * SEED_SEQ_STRIDE,
+                    "attempt": 0,
+                    "state": "pending",
+                }
+
+    def _allowed(self, url: str, host: str) -> bool:
+        r = self.robots.get(host)
+        if r is None:
+            return False
+        path = urlsplit(url).path
+        return not any(path.startswith(p) for p in r["disallow_prefixes"])
+
+    def run(self, max_supersteps: int = 1000) -> dict:
+        self.seed()
+        for wave_id in range(1, max_supersteps + 1):
+            pending = [
+                r for r in self.frontier.values()
+                if r["state"] == "pending" and r["attempt"] < self.max_attempts
+            ]
+            if not pending:
+                break
+            by_host: dict[str, list[dict]] = {}
+            for r in pending:
+                by_host.setdefault(r["host"], []).append(r)
+            wave: list[dict] = []
+            for host, rows in by_host.items():
+                rows.sort(key=lambda r: (r["depth"], r["seq"], r["url"]))
+                wave.extend(rows[: self.budgets.get(host, self.default_k)])
+
+            candidates: dict[str, tuple[int, int, str]] = {}
+            for r in wave:
+                url = r["url"]
+                body = self.pages.get(url)
+                if r["attempt"] < sw.fail_attempts_for(self.web_cfg, url):
+                    status = 503
+                elif body is not None:
+                    status = 200
+                else:
+                    status = 404
+                self.fetch_log.append(
+                    (wave_id, r["host"], url, r["depth"], r["seq"], r["attempt"], status)
+                )
+                if status == 200:
+                    r["state"] = "fetched"
+                    for row in extract_page(url, body, r["depth"], r["seq"]):
+                        if row["kind"] != "outlink":
+                            continue
+                        ourl = row["out_url"]
+                        host = (urlsplit(ourl).hostname or "").lower()
+                        if not self._allowed(ourl, host):
+                            continue
+                        key = (row["out_depth"], row["out_seq"], host)
+                        if ourl not in candidates or key < candidates[ourl]:
+                            candidates[ourl] = key
+                else:
+                    r["attempt"] += 1
+                    if r["attempt"] >= self.max_attempts:
+                        r["state"] = "failed"
+            for ourl, (depth, seq, host) in candidates.items():
+                if ourl in self.frontier:
+                    continue
+                self.frontier[ourl] = {
+                    "url": ourl, "host": host, "depth": depth, "seq": seq,
+                    "attempt": 0, "state": "pending",
+                }
+        return {
+            "fetch_log": self.fetch_log,
+            "frontier": self.frontier,
+            "seen": set(self.frontier),
+        }

@@ -429,6 +429,18 @@ def seed_rows(cfg: WebConfig) -> list[dict]:
     ]
 
 
+def robots_df(spark, cfg: WebConfig):
+    from go_scrapper_spark.schemas import ROBOTS_SCHEMA
+
+    return spark.createDataFrame(robots_rows(cfg), schema=ROBOTS_SCHEMA)
+
+
+def seeds_df(spark, cfg: WebConfig):
+    from go_scrapper_spark.schemas import SEEDS_SCHEMA
+
+    return spark.createDataFrame(seed_rows(cfg), schema=SEEDS_SCHEMA)
+
+
 # --- Spark-side generator ------------------------------------------------------
 
 def generate_pages_df(spark, cfg: WebConfig, n_partitions: int | None = None):

@@ -1,0 +1,142 @@
+"""Crawl-order + seen-set equivalence (SURVEY.md §5.2-2) and
+resume-idempotence (§5.2-4): the Spark engine must reproduce the
+pure-Python reference model's exact fetch log and final state, and a
+killed run must resume without re-fetching or double-counting."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
+from go_scrapper_spark.plans.reference_model import ModelCrawl
+from go_scrapper_spark.sources import synthetic_web as sw
+from go_scrapper_spark.sources.storage import SnapshotStore
+
+CFG = sw.WebConfig(n_biz=8)
+
+
+def _engine(spark, store):
+    pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+    robots = sw.robots_df(spark, CFG)
+    return CrawlEngine(
+        spark, pages, robots, store,
+        CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(CFG, u)),
+    )
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    base = tempfile.mkdtemp(prefix="crawl-eq-")
+    store = SnapshotStore(spark, base)
+    eng = _engine(spark, store)
+    total = eng.run(sw.seeds_df(spark, CFG))
+    model = ModelCrawl(CFG)
+    m = model.run()
+    yield eng, store, total, m
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _engine_log(store):
+    return sorted(
+        tuple(r)
+        for r in store.read_appended("fetch_log")
+        .select("wave_id", "host", "url", "depth", "seq", "attempt", "status")
+        .collect()
+    )
+
+
+def test_fetch_log_matches_model_exactly(run):
+    _eng, store, _total, m = run
+    assert _engine_log(store) == sorted(m["fetch_log"])
+
+
+def test_final_frontier_state_matches_model(run):
+    _eng, store, _total, m = run
+    ef = {
+        r["url"]: (r["state"], r["attempt"])
+        for r in store.read_snapshot_table(store.latest_wave(), "frontier").collect()
+    }
+    mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+    assert ef == mf
+
+
+def test_seen_table_matches_frontier_keys(run):
+    _eng, store, _total, _m = run
+    seen = {r["url_hash"] for r in store.read_appended("seen").collect()}
+    frontier_hashes = {
+        r["url_hash"]
+        for r in store.read_snapshot_table(store.latest_wave(), "frontier").collect()
+    }
+    assert seen == frontier_hashes
+
+
+def test_no_url_fetched_twice_at_same_attempt(run):
+    """Exactly-once per (url, attempt): the retry ledger semantics
+    (main.go:1079-1099) with no double-fetch across waves."""
+    _eng, store, _total, _m = run
+    log = store.read_appended("fetch_log")
+    dup = log.groupBy("url", "attempt").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_politeness_budget_respected(run):
+    """A5: per (wave, host) fetch count ≤ k_host (10 with the
+    reference's own delay/parallelism config)."""
+    _eng, store, _total, _m = run
+    over = (
+        store.read_appended("fetch_log")
+        .groupBy("wave_id", "host")
+        .count()
+        .filter(F.col("count") > 10)
+    )
+    assert over.count() == 0
+
+
+def test_robots_never_violated(run):
+    """S9: no /private/ URL is ever fetched."""
+    _eng, store, _total, _m = run
+    bad = store.read_appended("fetch_log").filter(F.col("url").contains("/private/"))
+    assert bad.count() == 0
+
+
+def test_extracted_text_byte_identical(run):
+    """BASELINE.json invariant: extracted page text == pages.text."""
+    _eng, store, _total, _m = run
+    pages = sw.generate_pages_df(run[0].spark, CFG, n_partitions=4)
+    pt = store.read_appended("pagetext").select("url", F.col("text").alias("got"))
+    bad = pt.join(pages.select("url", "text"), "url").filter(F.col("got") != F.col("text"))
+    assert bad.count() == 0
+
+
+def test_resume_after_kill_is_identical(spark, run):
+    """Kill after wave 2 → resume → byte-identical final fetch log and
+    frontier (wave-id-stamped idempotent commits, SURVEY.md §4.2-5)."""
+    _eng, full_store, _total, m = run
+    base = tempfile.mkdtemp(prefix="crawl-resume-")
+    try:
+        store = SnapshotStore(spark, base)
+        eng = _engine(spark, store)
+        eng.seed(sw.seeds_df(spark, CFG))
+        eng.run_superstep(1)
+        eng.run_superstep(2)
+        # simulate a crash mid-superstep 3: parquet written, no manifest
+        import os
+
+        os.makedirs(os.path.join(base, "snap-00003"), exist_ok=True)
+        with open(os.path.join(base, "snap-00003", "orphan.parquet"), "w") as f:
+            f.write("garbage")
+        assert store.latest_wave() == 2
+        # resume with a fresh engine instance
+        eng2 = _engine(spark, store)
+        eng2.run()
+        assert _engine_log(store) == sorted(m["fetch_log"])
+        ef = {
+            r["url"]: (r["state"], r["attempt"])
+            for r in store.read_snapshot_table(store.latest_wave(), "frontier").collect()
+        }
+        mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+        assert ef == mf
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
