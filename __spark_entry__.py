@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — runs the batch frontier crawl engine
+  end-to-end on the deterministic synthetic web (seed=42) and returns
+  the extracted review records in the reference's output order.
+- ``queries()``/``oracle_sql()``: one entry per implemented operator
+  from SURVEY.md §2 + the training-data pipeline tier, verified against
+  DuckDB on the sf tables (see go_scrapper_spark/oracle_queries.py for
+  the exactness conventions that make the value-hash compare exact).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_scrapper_spark import oracle_queries
+from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
+from go_scrapper_spark.sources import synthetic_web as sw
+from go_scrapper_spark.sources.storage import SnapshotStore
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl the synthetic web (profile → feed/non-rec fan-out
+    → extraction → dedup/seen → snapshot commits) and return extracted
+    reviews ordered date-desc (reference main.go:984-1007 semantics).
+
+    The sf0.001 documents table is read as a smoke check of the testdata
+    path; the crawl itself runs on the deterministic synthetic web the
+    engine is specified against (BASELINE.json input_hint shape).
+    """
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+
+    cfg = sw.WebConfig(n_biz=6, flaky_mod=10**9)  # no transient failures: smoke path
+    pages = sw.generate_pages_df(spark, cfg, n_partitions=4)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="entry-crawl-"))
+    engine = CrawlEngine(
+        spark,
+        pages,
+        sw.robots_df(spark, cfg),
+        store,
+        CrawlConfig(metrics=False),
+    )
+    engine.run(sw.seeds_df(spark, cfg))
+    return engine.ordered_extracted()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return oracle_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_queries.oracle_sql()

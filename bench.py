@@ -1,0 +1,129 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline = the engine's north-star metric: pages fetched+extracted/sec
+through the full frontier scheduler (wave select → fetch join →
+vectorized extract → dedup → snapshot commit), plus the raw extraction
+stage alone, plus per-query seconds for every oracle operator at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   oracle-table scale dir (default sf0.1)
+  SPARK_GRAFT_CPUS     local[] core count (default 32)
+  BENCH_N_BIZ          synthetic-web size for the crawl bench (default 1500)
+  BENCH_SKIP_QUERIES   "1" → only the crawl/extract headline
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py, which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def crawl_bench(spark, n_biz: int) -> dict:
+    from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from go_scrapper_spark.sources import synthetic_web as sw
+    from go_scrapper_spark.sources.storage import SnapshotStore
+
+    # wide-politeness config: big superstep budget so wall time measures
+    # engine throughput, not the politeness wait the budget models
+    cfg = sw.WebConfig(
+        n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
+        max_parallel=2000, crawl_delay_ms=1,
+    )
+    pages = sw.generate_pages_df(spark, cfg).persist()
+    n_pages = pages.count()  # materialize the synthetic web before timing
+
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="bench-crawl-"))
+    engine = CrawlEngine(
+        spark, pages, sw.robots_df(spark, cfg), store,
+        CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(cfg, u),
+                    window_ms=2_000_000),
+    )
+    t0 = time.time()
+    total = engine.run(sw.seeds_df(spark, cfg))
+    wall = time.time() - t0
+    store.destroy()
+    pages.unpersist()
+    return {
+        "n_pages_table": n_pages,
+        "pages_fetched": total["fetched"],
+        "reviews": total["reviews"],
+        "supersteps": total["supersteps"],
+        "crawl_sec": round(wall, 2),
+        "crawl_pages_per_sec": round(total["fetched"] / wall, 1),
+    }
+
+
+def extract_bench(spark, n_biz: int) -> dict:
+    """Extraction stage alone: one mapInPandas pass over every page."""
+    from go_scrapper_spark.functions.extract import extract_pages
+    from go_scrapper_spark.sources import synthetic_web as sw
+
+    cfg = sw.WebConfig(n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20)
+    pages = sw.generate_pages_df(spark, cfg).persist()
+    n_pages = pages.count()
+    fetched = pages.select(
+        "url", "html", F.lit(0).alias("depth"), F.lit(0).cast("long").alias("seq")
+    )
+    t0 = time.time()
+    n_rows = extract_pages(fetched).count()
+    wall = time.time() - t0
+    pages.unpersist()
+    return {
+        "extract_pages": n_pages,
+        "extract_rows_out": n_rows,
+        "extract_sec": round(wall, 2),
+        "extract_pages_per_sec": round(n_pages / wall, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_biz = int(os.environ.get("BENCH_N_BIZ", "1500"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from go_scrapper_spark import oracle_queries as oq
+    from go_scrapper_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cores)
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    ext = extract_bench(spark, n_biz)
+    queries["crawl_bulk_extract"] = ext["extract_sec"]
+    crawl = crawl_bench(spark, n_biz)
+    queries["crawl_e2e"] = crawl["crawl_sec"]
+
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        for name, (fn, _sql) in oq.QUERIES.items():
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            queries[name] = round(time.time() - t0, 3)
+
+    total_sec = round(time.time() - t_all, 2)
+    out = {
+        "metric": "headline suite wall seconds (crawl e2e + bulk extract + oracle ops); crawl_pages_per_sec is the north-star rate",
+        "value": total_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cores": cores,
+        **crawl,
+        **ext,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

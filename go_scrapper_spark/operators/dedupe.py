@@ -1,0 +1,145 @@
+"""Corpus deduplication operators (training-data pipeline tier).
+
+The reference deduplicates one list of reviews by md5 content hash
+(main.go:1009-1046); at 100 TB corpus scale dedup is a first-class
+pipeline stage. All variants here are expressed in native Spark SQL
+functions (whole-stage codegen, no Python in the hot path) and are
+integer/string-exact so the DuckDB oracle can verify them bit-for-bit:
+
+- exact: md5(content) group-by (the reference's own semantics, scaled)
+- n-gram Jaccard: shingle self-join with integer threshold math
+- MinHash + LSH: per-doc k-min md5 signatures, banded candidate join
+- SimHash: 16-bit sign-aggregated token fingerprint
+
+Scale notes: the shingle self-join shuffles on the shingle key — at
+corpus scale you salt hot shingles (stopword n-grams) or pre-filter by
+document frequency; MinHash/LSH exists precisely to replace the
+quadratic shingle join with band-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: canonical (min) doc id + count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int) -> F.Column:
+    """Word n-gram shingle array, SQL-expression only (codegen'd)."""
+    ws = f"split({text_col}, ' ')"
+    parts = ", ".join(f"{ws}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+
+
+def _shingle_rows(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    return (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, num: int = 1, den: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs with Jaccard ≥ num/den over distinct
+    word n-gram shingles. Threshold test is integer-exact:
+    inter/union ≥ num/den  ⟺  den·inter ≥ num·union."""
+    sh = _shingle_rows(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 6, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """k MinHash signature components per doc. Permutation i is the
+    lexicographic order of md5(i || ':' || shingle) — md5 hex strings
+    compare identically in any ASCII-collation engine, so the oracle
+    reproduces signatures exactly."""
+    sh = _shingle_rows(docs, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))).alias(f"s{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k: int = 6, n: int = 3, bands: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs: k/bands rows per band; docs sharing any full
+    band become candidates; output the exact signature-match count
+    (0..k) as the similarity estimate numerator."""
+    sig = minhash_signatures(docs, k, n, id_col, text_col).persist()
+    rows_per_band = k // bands
+    cands = None
+    for b in range(bands):
+        cols = [f"s{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        a = sig.alias("a")
+        c = sig.alias("c")
+        cond = (F.col("a.doc") < F.col("c.doc"))
+        for col in cols:
+            cond = cond & (F.col(f"a.{col}") == F.col(f"c.{col}"))
+        pair = a.join(c, cond).select(
+            F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b")
+        )
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.distinct()
+    a = sig.alias("a")
+    c = sig.alias("c")
+    matches = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"c.s{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cands.join(a, cands.doc_a == F.col("a.doc"))
+        .join(c, cands.doc_b == F.col("c.doc"))
+        .select("doc_a", "doc_b", matches.alias("sig_matches"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16,
+            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: per token take ``bits`` bits of md5, sum
+    ±1 contributions per bit position, sign → fingerprint bit. All
+    integer arithmetic (exact cross-engine)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, bits // 4), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            (F.floor(F.col("h") / F.lit(2 ** b)) % 2) * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    fp = sum(
+        F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(bits)
+    )
+    return agg.select("doc", fp.cast("long").alias("simhash"))

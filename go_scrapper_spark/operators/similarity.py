@@ -1,0 +1,133 @@
+"""Embedding similarity search (training-data pipeline tier).
+
+Brute-force inner-product top-k as the correctness baseline, an
+LSH-bucketed variant as the scale path, and an integer-exact cosine
+threshold for near-dup detection.
+
+Determinism design: embeddings are quantized to integer milli-units
+(round(x*1000)) before any arithmetic, so every score is exact 64-bit
+integer math — bit-identical between Spark and the DuckDB oracle, with
+no float-summation-order hazards. The cosine threshold test
+``cos(a,b) ≥ t`` is evaluated as ``dot>0 ∧ dot²·den² ≥ num²·|a|²·|b|²``
+with t = num/den — still pure integers.
+
+Scale notes: brute-force is a crossJoin — only the small query side is
+broadcast; candidates stream. The LSH variant buckets by sign bits of
+fixed integer-weight hyperplanes, turning the crossJoin into an
+equi-join on bucket (the 100 TB path; IVF with learned centroids slots
+into the same shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize(col) -> F.Column:
+    """float array → exact integer milli-units."""
+    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+
+
+def dot_int(a, b) -> F.Column:
+    """Integer dot product via zip_with + ordered fold (exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2_int(a) -> F.Column:
+    return dot_int(a, a)
+
+
+def topk_dot(emb: DataFrame, k: int = 3, n_queries: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k by quantized inner product. Queries = the
+    first ``n_queries`` ids (broadcast side); ties broken by id."""
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = emb.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "neighbor_id", dot_int(F.col("qv"), F.col("cv")).alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def cosine_near_dup_pairs(emb: DataFrame, num: int = 3, den: int = 10,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine ≥ num/den — integer-exact threshold."""
+    v = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        dot_int(F.col("a.v"), F.col("b.v")).alias("dot"),
+        norm2_int(F.col("a.v")).alias("na"),
+        norm2_int(F.col("b.v")).alias("nb"),
+    )
+    return pairs.filter(
+        (F.col("dot") > 0)
+        & (F.col("dot") * F.col("dot") * (den * den)
+           >= F.col("na") * F.col("nb") * (num * num))
+    ).select("id_a", "id_b", "dot")
+
+
+def lsh_projection_bucket(vec_col, n_planes: int = 4, dim: int = 64) -> F.Column:
+    """Bucket id from sign bits of fixed integer-weight hyperplanes
+    w[p][j] = ((p*7 + j*13) % 5) - 2 over the quantized vector.
+    Deterministic, integer-exact, oracle-reproducible."""
+    qv = quantize(vec_col)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                qv,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, j: x * ((p * 7 + j * 13) % 5 - 2),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_bucketed_neighbors(emb: DataFrame, k: int = 3, n_queries: int = 5,
+                           n_planes: int = 4, dim: int = 64,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: top-k by inner product *within the query's LSH bucket* —
+    the equi-join scale path (bucket replaces the crossJoin)."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("v"),
+        lsh_projection_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = v.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = v.filter(F.col("id") >= n_queries).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id", "neighbor_id", dot_int(F.col("qv"), F.col("cv")).alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )

@@ -1,0 +1,663 @@
+"""Driver-contract query registry (SURVEY.md §5.2-3).
+
+Every SQL-expressible operator from SURVEY.md §2 plus the
+training-data pipeline tier gets a (Spark callable, DuckDB oracle SQL)
+pair. Conventions that make the driver's order-insensitive value-hash
+compare exact across engines:
+
+- no float arithmetic in outputs: money in integer cents, ratios in
+  exact permille, embeddings quantized to integer milli-units;
+- every computed integer column is explicitly BIGINT on both sides;
+- identical aliases on both sides;
+- md5/base64/levenshtein produce identical strings in both engines.
+
+Non-SQL-expressible entries (the crawl engine itself, the multimodal
+mapInPandas stage) are registered in NO_ORACLE — the driver records a
+rows-only check for those, and tests/test_crawl_equivalence.py holds
+them to the stronger model-equivalence standard instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.functions import textstats
+from go_scrapper_spark.functions.urltools import canonicalize_udf
+from go_scrapper_spark.operators import dedupe, multimodal, similarity
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# =============================================================================
+# Group A — crawl-operator analogs over the TPC-H-ish tables
+# =============================================================================
+
+def q_a1_pricing_summary(spark, sf):
+    """A-series aggregation flagship (TPC-H Q1 shape, integer-cent math)."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+        F.sum(
+            _cents("l_extendedprice")
+            * F.round((1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("sum_disc_c4"),
+        F.count("*").alias("count_order"),
+    )
+
+
+SQL_A1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round((1-l_discount)*100) AS BIGINT)) AS sum_disc_c4,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_w3_topk_per_group(spark, sf):
+    """W3 wave selection shape: per-key top-3 by (date desc, key)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_W3 = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_w4_argmax(spark, sf):
+    """W4/J2 winner-selection: per nation, the max-acctbal supplier."""
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_nationkey", F.col("s_suppkey").alias("winner_suppkey"))
+    )
+
+
+SQL_W4 = """
+SELECT s_nationkey, s_suppkey AS winner_suppkey FROM (
+  SELECT s_nationkey, s_suppkey,
+         row_number() OVER (PARTITION BY s_nationkey
+              ORDER BY s_acctbal DESC, s_suppkey) AS rn
+  FROM supplier) WHERE rn = 1
+"""
+
+
+def q_j3_seen_antijoin(spark, sf):
+    """J3 seen-filter shape: left anti join (customers with no orders)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+SQL_J3 = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_j4_fetch_join(spark, sf):
+    """J4 fetch-join shape: big-big equi join + agg."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+SQL_J4 = """
+SELECT o_orderpriority, count(*) AS n_items,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_j5_broadcast_dims(spark, sf):
+    """J5 robots-join shape: broadcast dimension chain."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_J5 = """
+SELECT r_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_j1_similarity_match(spark, sf):
+    """J1 match-service shape: cross join + edit-distance argmin."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    scored = n.crossJoin(F.broadcast(r)).select(
+        "n_name", "r_name",
+        F.levenshtein("n_name", "r_name").cast("long").alias("dist"),
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("dist").asc(), F.col("r_name").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n_name", F.col("r_name").alias("best_region"), "dist")
+    )
+
+
+SQL_J1 = """
+SELECT n_name, r_name AS best_region, dist FROM (
+  SELECT n_name, r_name, CAST(levenshtein(n_name, r_name) AS BIGINT) AS dist,
+         row_number() OVER (PARTITION BY n_name
+              ORDER BY levenshtein(n_name, r_name), r_name) AS rn
+  FROM nation CROSS JOIN region) WHERE rn = 1
+"""
+
+
+def q_f6_status_routing(spark, sf):
+    """F6 status-code routing: when/otherwise → scrape status."""
+    e = _t(spark, sf, "events")
+    status = (
+        F.when(F.col("event_type") == "error", "SCRAPE_FAILED")
+        .when(F.col("event_type") == "purchase", "SUCCESS_SCRAPED")
+        .when(F.col("event_type") == "signup", "NO_REVIEWS")
+        .otherwise("RETRY")
+    )
+    return e.groupBy(status.alias("scrape_status")).agg(F.count("*").alias("n"))
+
+
+SQL_F6 = """
+SELECT CASE event_type WHEN 'error' THEN 'SCRAPE_FAILED'
+                       WHEN 'purchase' THEN 'SUCCESS_SCRAPED'
+                       WHEN 'signup' THEN 'NO_REVIEWS'
+                       ELSE 'RETRY' END AS scrape_status,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_f4_prefix_truncate(spark, sf):
+    """F4/W2 seen-hash cut: keep rows before the first 'R' flag per order."""
+    l = _t(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    cut = F.min(
+        F.when(F.col("l_returnflag") == "R", F.col("l_linenumber"))
+    ).over(w)
+    return (
+        l.withColumn("cut", cut)
+        .filter(F.col("l_linenumber") < F.coalesce(F.col("cut"), F.lit(999)))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+SQL_F4 = """
+SELECT l_orderkey, l_linenumber FROM (
+  SELECT l_orderkey, l_linenumber,
+         min(CASE WHEN l_returnflag = 'R' THEN l_linenumber END)
+             OVER (PARTITION BY l_orderkey) AS cut
+  FROM lineitem) WHERE l_linenumber < coalesce(cut, 999)
+"""
+
+
+def q_f5_retry_filter(spark, sf):
+    """F5 retry bound: attempt < 5 filter shape."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_linenumber") < 5)
+        .groupBy("l_linenumber")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_F5 = """
+SELECT l_linenumber, count(*) AS n FROM lineitem
+WHERE l_linenumber < 5 GROUP BY l_linenumber
+"""
+
+
+def q_g1_pagination_fanout(spark, sf):
+    """G1/G2 pagination fan-out: explode(sequence(0, n-1, step))."""
+    l = _t(spark, sf, "lineitem")
+    counts = l.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return counts.filter(F.col("n") >= 1).select(
+        "l_orderkey",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(2).cast("long"))).alias("page_start"),
+    )
+
+
+SQL_G1 = """
+SELECT l_orderkey, unnest(range(0, n, 2)) AS page_start
+FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+WHERE n >= 1
+"""
+
+
+def q_u1_union_streams(spark, sf):
+    """U1 stream union: normal + non-recommended merge shape."""
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("entity_name"), F.lit("customer").alias("src")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("entity_name"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+SQL_U1 = """
+SELECT c_name AS entity_name, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_name AS entity_name, 'supplier' AS src FROM supplier
+"""
+
+
+def q_a5_rate_accounting(spark, sf):
+    """A5 window-based rate accounting: per-key count + first/last ms."""
+    e = _t(spark, sf, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # parquet NTZ → UTC instant
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(ms).alias("first_ms"),
+        F.max(ms).alias("last_ms"),
+    )
+
+
+SQL_A5 = """
+SELECT user_id, count(*) AS n_events,
+       min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+FROM events GROUP BY user_id
+"""
+
+
+def q_p_scalar_suite(spark, sf):
+    """P-series scalar projection suite: md5 (P17), base64 (P12),
+    regexp_extract (P3/P4), concat (P16), date→unix (P10)."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.base64(F.col("c_name").cast("binary")).alias("name_b64"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.concat_ws(", ", "c_name", "c_mktsegment").alias("display"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+SQL_P = """
+SELECT c_custkey, md5(c_name) AS name_md5, to_base64(encode(c_name)) AS name_b64,
+       regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+       concat_ws(', ', c_name, c_mktsegment) AS display,
+       CAST(length(c_name) AS BIGINT) AS name_len
+FROM customer
+"""
+
+
+def q_p10_date_parse(spark, sf):
+    """P10 Go date layout 1/2/2006 → unix seconds, via format+parse
+    round trip (main.go:676)."""
+    o = _t(spark, sf, "orders")
+    disp = F.date_format("o_orderdate", "M/d/yyyy")
+    return o.select(
+        "o_orderkey",
+        disp.alias("source_date"),
+        F.unix_timestamp(F.to_timestamp(disp, "M/d/yyyy")).alias("posted_at"),
+    )
+
+
+SQL_P10 = """
+SELECT o_orderkey, strftime(o_orderdate, '%-m/%-d/%Y') AS source_date,
+       CAST(epoch(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')) AS BIGINT) AS posted_at
+FROM orders
+"""
+
+
+def q_p18_review_hash(spark, sf):
+    """P18 review-hash (text+author branch) in pure SQL — valid because
+    these names contain no JSON-escaped characters; the general case is
+    the gojson pandas path tested in test_gojson.py."""
+    c = _t(spark, sf, "customer")
+    marshalled = F.concat(F.lit('["'), F.col("c_name"), F.lit('","'),
+                          F.col("c_mktsegment"), F.lit('"]'))
+    return c.select("c_custkey", F.md5(marshalled.cast("binary")).alias("review_hash"))
+
+
+SQL_P18 = """
+SELECT c_custkey, md5('["' || c_name || '","' || c_mktsegment || '"]') AS review_hash
+FROM customer
+"""
+
+
+def q_canon_urls(spark, sf):
+    """P13 RFC-3986 canonicalization — the UDF versus a SQL-computed
+    expected form (scheme/host lowercase, default port stripped, dot
+    segments removed, query sorted, fragment dropped)."""
+    c = _t(spark, sf, "customer")
+    raw = F.concat(
+        F.lit("HTTPS://Host"), F.col("c_custkey"), F.lit(".Example:443/A/./b/../Path?b=2&a=1#f")
+    )
+    return c.select("c_custkey", canonicalize_udf(raw).alias("canon_url"))
+
+
+SQL_CANON = """
+SELECT c_custkey,
+       'https://host' || c_custkey || '.example/A/Path?a=1&b=2' AS canon_url
+FROM customer
+"""
+
+
+# =============================================================================
+# Group B — training-data pipeline operators (documents / embeddings)
+# =============================================================================
+
+def q_dedup_exact(spark, sf):
+    return dedupe.exact_dedup_groups(_t(spark, sf, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return dedupe.ngram_jaccard_pairs(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 400), n=3, num=1, den=5
+    )
+
+
+SQL_DEDUP_JACCARD = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+      range(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           || ' ' || string_split(text, ' ')[i+2])) AS sh
+  FROM docs WHERE len(string_split(text, ' ')) >= 3),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, (na.n_sh + nb.n_sh - inter) AS uni
+FROM inter JOIN sizes na ON na.doc = doc_a JOIN sizes nb ON nb.doc = doc_b
+WHERE inter * 5 >= (na.n_sh + nb.n_sh - inter) * 1
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return dedupe.minhash_lsh_pairs(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 400), k=6, n=3, bands=3
+    )
+
+
+def _sql_minhash() -> str:
+    sigs = ",\n       ".join(
+        f"min(md5('{i}:' || sh)) AS s{i}" for i in range(6)
+    )
+    bands = " OR ".join(
+        f"(a.s{2*b} = c.s{2*b} AND a.s{2*b+1} = c.s{2*b+1})" for b in range(3)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.s{i} = c.s{i} THEN 1 ELSE 0 END" for i in range(6)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, unnest(list_transform(
+      range(1, len(string_split(text, ' ')) - 1),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+           || ' ' || string_split(text, ' ')[i+2])) AS sh
+  FROM docs WHERE len(string_split(text, ' ')) >= 3),
+sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc)
+SELECT a.doc AS doc_a, c.doc AS doc_b, CAST({matches} AS BIGINT) AS sig_matches
+FROM sig a JOIN sig c ON a.doc < c.doc AND ({bands})
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    return dedupe.simhash(_t(spark, sf, "documents"), bits=16)
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS doc,
+         CAST(concat('0x', substr(md5(t), 1, {bits//4})) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+agg AS (SELECT doc, {bit_sums} FROM tok GROUP BY doc)
+SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def q_sim_topk_dot(spark, sf):
+    return similarity.topk_dot(_t(spark, sf, "embeddings"), k=3, n_queries=5)
+
+
+SQL_SIM_TOPK = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dot
+  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id >= 5)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+WHERE rank <= 3
+"""
+
+
+def q_sim_lsh_neighbors(spark, sf):
+    return similarity.lsh_bucketed_neighbors(
+        _t(spark, sf, "embeddings"), k=3, n_queries=5, n_planes=4, dim=64
+    )
+
+
+def _sql_lsh_neighbors(n_planes: int = 4) -> str:
+    projs = ",\n         ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> qv[i] * (({p}*7 + (i-1)*13) % 5 - 2))) > 0 THEN {2**p} ELSE 0 END AS p{p}"
+        for p in range(n_planes)
+    )
+    bsum = " + ".join(f"p{p}" for p in range(n_planes))
+    return f"""
+WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+            FROM embeddings),
+v AS (SELECT vec_id, qv, {bsum} AS bucket FROM (SELECT vec_id, qv, {projs} FROM v0)),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dot
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5)
+SELECT query_id, neighbor_id, dot, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+WHERE rank <= 3
+"""
+
+
+def q_emb_near_dup(spark, sf):
+    return similarity.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), num=3, den=10)
+
+
+SQL_EMB_NEAR_DUP = """
+WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+           FROM embeddings),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1,65), i -> a.v[i]*a.v[i])) AS BIGINT) AS na,
+         CAST(list_sum(list_transform(range(1,65), i -> b.v[i]*b.v[i])) AS BIGINT) AS nb
+  FROM v a JOIN v b ON a.id < b.id)
+SELECT id_a, id_b, dot FROM p
+WHERE dot > 0 AND dot*dot*100 >= na*nb*9
+"""
+
+
+def q_text_quality(spark, sf):
+    return textstats.text_quality(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_func_words,
+       CAST(floor(length(text) * 1000 / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS milli_chars_per_token,
+       CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 20
+                 AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a'))) * 100
+                     >= len(regexp_split_to_array(text, '\\s+')) * 2
+            THEN 'keep' ELSE 'drop' END AS quality_band
+FROM documents
+"""
+
+
+def q_text_lang_id(spark, sf):
+    return textstats.lang_id(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_LANG = """
+SELECT doc_id,
+       CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a'))) * 1000
+            / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS func_permille,
+       CASE WHEN floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a'))) * 1000
+                 / len(regexp_split_to_array(text, '\\s+'))) >= 80
+            THEN 'en_like' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    return textstats.fingerprint(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = """
+WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents)
+SELECT doc_id, md5(norm) AS doc_md5,
+       list_min(list_transform(range(1, greatest(length(norm) - 15, 1) + 1),
+                i -> md5(substr(norm, i, 16)))) AS min_gram_md5
+FROM n
+"""
+
+
+def q_mm_image_meta(spark, sf):
+    return multimodal.image_meta(multimodal.attach_payload(_t(spark, sf, "documents")))
+
+
+SQL_MM_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height,
+       'stub' AS mode
+FROM documents
+"""
+
+
+# =============================================================================
+# Group C — engine-native entries (no SQL oracle: rows-only check; the
+# strong check is tests/test_crawl_equivalence.py)
+# =============================================================================
+
+def q_crawl_bulk_extract(spark, sf):
+    """The extraction stage over a generated synthetic web: one
+    mapInPandas pass, html read once per page (no scheduler loop)."""
+    from go_scrapper_spark.functions.extract import extract_pages
+    from go_scrapper_spark.sources.synthetic_web import WebConfig, generate_pages_df
+
+    pages = generate_pages_df(spark, WebConfig(n_biz=40), n_partitions=8)
+    fetched = pages.select("url", "html", F.lit(0).alias("depth"), F.lit(0).cast("long").alias("seq"))
+    u = extract_pages(fetched)
+    return u.filter(F.col("kind") == "review").select(
+        "url", "review_id", "author_id", "author_name", "text", "rating",
+        "source_date", "review_hash",
+    )
+
+
+# =============================================================================
+# registry
+# =============================================================================
+
+QUERIES = {
+    "a1_pricing_summary": (q_a1_pricing_summary, SQL_A1),
+    "w3_topk_per_group": (q_w3_topk_per_group, SQL_W3),
+    "w4_argmax": (q_w4_argmax, SQL_W4),
+    "j3_seen_antijoin": (q_j3_seen_antijoin, SQL_J3),
+    "j4_fetch_join": (q_j4_fetch_join, SQL_J4),
+    "j5_broadcast_dims": (q_j5_broadcast_dims, SQL_J5),
+    "j1_similarity_match": (q_j1_similarity_match, SQL_J1),
+    "f6_status_routing": (q_f6_status_routing, SQL_F6),
+    "f4_prefix_truncate": (q_f4_prefix_truncate, SQL_F4),
+    "f5_retry_filter": (q_f5_retry_filter, SQL_F5),
+    "g1_pagination_fanout": (q_g1_pagination_fanout, SQL_G1),
+    "u1_union_streams": (q_u1_union_streams, SQL_U1),
+    "a5_rate_accounting": (q_a5_rate_accounting, SQL_A5),
+    "p_scalar_suite": (q_p_scalar_suite, SQL_P),
+    "p10_date_parse": (q_p10_date_parse, SQL_P10),
+    "p18_review_hash": (q_p18_review_hash, SQL_P18),
+    "p13_canonicalize": (q_canon_urls, SQL_CANON),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
+    "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
+    "sim_topk_dot": (q_sim_topk_dot, SQL_SIM_TOPK),
+    "sim_lsh_neighbors": (q_sim_lsh_neighbors, _sql_lsh_neighbors()),
+    "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
+}
+
+NO_ORACLE = {
+    "crawl_bulk_extract": q_crawl_bulk_extract,
+}
+
+
+def queries():
+    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    out.update(NO_ORACLE)
+    return out
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in QUERIES.items()}

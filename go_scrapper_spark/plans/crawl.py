@@ -195,27 +195,34 @@ class CrawlEngine:
             F.lit(wave_id).cast("long").alias("wave_id"),
         )
 
-        # one combined agg over the persisted wave + one over the persisted
-        # extraction union (instead of five separate count jobs)
-        frow = fetched.agg(
-            F.count("*").alias("attempted"),
-            F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
-            F.coalesce(
-                F.sum(F.when(F.col("status") == 200, F.length("html"))), F.lit(0)
-            ).alias("bytes"),
-        ).collect()[0]
-        urow = union.agg(
-            F.count(F.when(F.col("kind") == "review", 1)).alias("reviews"),
-            F.count(F.when(F.col("kind") == "outlink", 1)).alias("outlinks"),
-        ).collect()[0]
-        stats = {
-            "wave_id": wave_id,
-            "attempted": frow["attempted"],
-            "fetched": frow["fetched"],
-            "bytes": frow["bytes"],
-            "reviews": urow["reviews"],
-            "outlinks": urow["outlinks"],
-        }
+        if cfg.metrics:
+            # one combined agg over the persisted wave + one over the
+            # persisted extraction union (not five separate count jobs)
+            frow = fetched.agg(
+                F.count("*").alias("attempted"),
+                F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
+                F.coalesce(
+                    F.sum(F.when(F.col("status") == 200, F.length("html"))), F.lit(0)
+                ).alias("bytes"),
+            ).collect()[0]
+            urow = union.agg(
+                F.count(F.when(F.col("kind") == "review", 1)).alias("reviews"),
+                F.count(F.when(F.col("kind") == "outlink", 1)).alias("outlinks"),
+            ).collect()[0]
+            stats = {
+                "wave_id": wave_id,
+                "attempted": frow["attempted"],
+                "fetched": frow["fetched"],
+                "bytes": frow["bytes"],
+                "reviews": urow["reviews"],
+                "outlinks": urow["outlinks"],
+            }
+        else:
+            stats = {
+                "wave_id": wave_id,
+                "attempted": fetched.count(),
+                "fetched": 0, "bytes": 0, "reviews": 0, "outlinks": 0,
+            }
         metrics_rows = [
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
         ]

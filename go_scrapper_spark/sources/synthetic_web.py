@@ -40,6 +40,10 @@ class WebConfig:
     cross_links: int = 2  # generic profile→profile outlinks
     flaky_mod: int = 13  # md5(url)%mod==0 → first 2 fetch attempts 503
     dead_link_every: int = 7  # every k-th business links one 404 target
+    # politeness policy knobs (robots table values; defaults mirror the
+    # reference's colly LimitRule — collyfunc.go:115-119, 179)
+    max_parallel: int = 10
+    crawl_delay_ms: int = 3000
 
 
 # --- deterministic primitives ------------------------------------------------
@@ -402,8 +406,8 @@ def robots_rows(cfg: WebConfig) -> list[dict]:
             "host": h,
             "allow_prefixes": ["/"],
             "disallow_prefixes": ["/private/"],
-            "crawl_delay_ms": 3000,
-            "max_parallel": 10,
+            "crawl_delay_ms": cfg.crawl_delay_ms,
+            "max_parallel": cfg.max_parallel,
         }
         for h in all_hosts(cfg)
     ]
