@@ -43,7 +43,9 @@ def entry(spark: SparkSession) -> DataFrame:
         store,
         CrawlConfig(metrics=False),
     )
-    engine.run(sw.seeds_df(spark, cfg))
+    from go_scrapper_spark.plans.search import resolve_profile_keys
+
+    engine.run(resolve_profile_keys(sw.seeds_df(spark, cfg), pages))
     return engine.ordered_extracted()
 
 

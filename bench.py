@@ -45,10 +45,13 @@ def crawl_bench(spark, n_biz: int) -> dict:
     engine = CrawlEngine(
         spark, pages, sw.robots_df(spark, cfg), store,
         CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(cfg, u),
-                    window_ms=2_000_000),
+                    window_ms=2_000_000, checkpoint_every=4),
     )
     t0 = time.time()
-    total = engine.run(sw.seeds_df(spark, cfg))
+    from go_scrapper_spark.plans.search import resolve_profile_keys
+
+    seeds = resolve_profile_keys(sw.seeds_df(spark, cfg), pages)
+    total = engine.run(seeds)
     wall = time.time() - t0
     store.destroy()
     pages.unpersist()
@@ -88,7 +91,7 @@ def extract_bench(spark, n_biz: int) -> dict:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_biz = int(os.environ.get("BENCH_N_BIZ", "1500"))
+    n_biz = int(os.environ.get("BENCH_N_BIZ", "6000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from go_scrapper_spark import oracle_queries as oq

@@ -368,6 +368,58 @@ def _extract_nonrec_page(url: str, body: bytes, depth: int, seq: int) -> list[di
     return rows
 
 
+_RE_HOVERCARD = re.compile(r"\"hovercardData\":{(.*?)}}")  # main.go:366
+
+
+def extract_search_candidates(url: str, body: bytes) -> list[dict]:
+    """Search-page hovercard extraction (main.go:355-412):
+    - only scripts containing both 'hovercardData' and 'addressLines' (F2);
+    - the JSON island is carved with the reference's non-greedy regex
+      and re-wrapped in braces (main.go:366-369);
+    - addressLines reproduces Go's fmt.Sprintf("%v", []) + bracket-strip
+      formatting (main.go:386-388): lines joined by single spaces;
+    - ads dropped (F3, main.go:401).
+    Candidates are returned sorted by key for determinism (Go map
+    iteration order is random — a documented determinized divergence,
+    same class as S11)."""
+    dom = htmlmini.parse_html(body.decode("utf-8"))
+    out: list[dict] = []
+    for v in htmlmini.child_texts(dom, 'script[type="application/json"]'):
+        if "hovercardData" not in v or "addressLines" not in v:
+            continue
+        m = _RE_HOVERCARD.search(v)
+        if not m:
+            continue
+        data = json.loads("{" + m.group(0) + "}")
+        hover = data.get("hovercardData") or {}
+        for key in sorted(hover):
+            c = hover[key]
+            if not isinstance(c, dict) or c.get("isAd", True):
+                continue
+            lines = c.get("addressLines") or []
+            s = "[" + " ".join(str(x) for x in lines) + "]"
+            text = s[1 : s.index("]")]
+            out.append(
+                {
+                    "cand_name": c.get("name") or "",
+                    "cand_text": text,
+                    "cand_url": c.get("businessUrl") or "",
+                    "cand_reviews": float(c.get("numReviews") or 0.0),
+                }
+            )
+    return out
+
+
+def _extract_search_page(url: str, body: bytes) -> list[dict]:
+    """Search pages are consumed by the resolution pre-phase
+    (plans/search.py); in a bulk extraction pass they contribute only
+    their page text (no outlinks — the reference never crawls outward
+    from search results, main.go:355-425)."""
+    dom = htmlmini.parse_html(body.decode("utf-8"))
+    h2 = htmlmini.select(dom, "h2")
+    return [_row("pagetext", url, text=_dom_text(h2[0]).strip() if h2 else "")]
+
+
 def extract_page(url: str, body: bytes, depth: int = 0, seq: int = 0) -> list[dict]:
     """Dispatch one page to its extractor. Pure function — shared by the
     Spark operator below and the pure-Python reference model."""
@@ -377,6 +429,8 @@ def extract_page(url: str, body: bytes, depth: int = 0, seq: int = 0) -> list[di
         if "not_recommended_start=" in url:
             return _extract_nonrec_page(url, body, depth, seq)
         return _extract_nonrec_root(url, body, depth, seq)
+    if "/search?" in url:
+        return _extract_search_page(url, body)
     return _extract_profile(url, body, depth, seq)
 
 

@@ -68,14 +68,19 @@ def topk_dot(emb: DataFrame, k: int = 3, n_queries: int = 5,
 def cosine_near_dup_pairs(emb: DataFrame, num: int = 3, den: int = 10,
                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine ≥ num/den — integer-exact threshold."""
-    v = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    # norms computed once per vector (not per pair) before the self-join
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("v"),
+        norm2_int(quantize(F.col(vec_col))).alias("n2"),
+    )
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
         dot_int(F.col("a.v"), F.col("b.v")).alias("dot"),
-        norm2_int(F.col("a.v")).alias("na"),
-        norm2_int(F.col("b.v")).alias("nb"),
+        F.col("a.n2").alias("na"),
+        F.col("b.n2").alias("nb"),
     )
     return pairs.filter(
         (F.col("dot") > 0)

@@ -58,6 +58,17 @@ class CrawlConfig:
     partition_frontier: bool = False  # partitionBy(host_bucket) on write (scale mode)
     fail_attempts_fn: object = None  # url -> int; transient-failure injection
     metrics: bool = True
+    # small-file control for the parquet-snapshot backend: coalesce each
+    # delta table to this many files before write. At cluster scale this
+    # is replaced by Iceberg bucket partitioning + target-file-size
+    # compaction; locally it avoids 64 tiny files per table per wave.
+    write_partitions: int | None = 8
+    # checkpoint interval: commit a resumable snapshot every K waves.
+    # Intermediate waves keep the frontier as an eager localCheckpoint
+    # (lineage truncated, no table commit) and accumulate deltas in
+    # memory — identical semantics (a resume recomputes the uncommitted
+    # waves deterministically), K× fewer commit round-trips.
+    checkpoint_every: int = 1
 
 
 def _fail_udf(fn):
@@ -91,6 +102,9 @@ class CrawlEngine:
         self.store = store
         self.budgets = host_budget(robots_df, self.cfg.window_ms, self.cfg.default_k)
         self._fail_attempts = _fail_udf(self.cfg.fail_attempts_fn)
+        # transient inter-wave state for checkpoint_every > 1
+        self._frontier_cache: DataFrame | None = None
+        self._pending_deltas: dict[str, list[DataFrame]] = {}
 
     # ------------------------------------------------------------------ seeds
 
@@ -132,7 +146,12 @@ class CrawlEngine:
         """One wave. Returns per-wave metric dict; 'fetched'==0 with
         'pending'==0 means the crawl is complete."""
         cfg = self.cfg
-        frontier = self.store.read_snapshot_table(wave_id - 1, "frontier")
+        if self._frontier_cache is not None:
+            frontier = self._frontier_cache
+        else:
+            frontier = self.store.read_snapshot_table(
+                self.store.latest_wave(), "frontier"
+            )
         pending = frontier.filter(
             (F.col("state") == "pending") & (F.col("attempt") < cfg.max_attempts)
         )
@@ -150,9 +169,12 @@ class CrawlEngine:
             .persist()
         )
 
+        from go_scrapper_spark.functions.ua import ua_col
+
         fetch_log = fetched.select(
             F.lit(wave_id).cast("long").alias("wave_id"),
             "host", "url", "depth", "seq", "attempt", "status",
+            ua_col(F.col("url"), F.col("attempt")).alias("ua"),
         )
 
         ok = fetched.filter(F.col("status") == 200)
@@ -218,11 +240,15 @@ class CrawlEngine:
                 "outlinks": urow["outlinks"],
             }
         else:
+            # still materialize both persisted frames at full parallelism
+            # (the coalesced writes below would otherwise collapse the
+            # extraction stage's task count)
             stats = {
                 "wave_id": wave_id,
                 "attempted": fetched.count(),
                 "fetched": 0, "bytes": 0, "reviews": 0, "outlinks": 0,
             }
+            union.count()
         metrics_rows = [
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
         ]
@@ -230,21 +256,50 @@ class CrawlEngine:
             metrics_rows, "wave_id long, metric string, value long"
         )
 
-        self._commit(
-            wave_id,
-            {
-                "frontier": frontier_next,
-                "fetch_log": fetch_log,
-                "extracted": reviews,
-                "pagetext": pagetexts,
-                "seen": seen_delta,
-                "metrics": metrics,
-            },
+        deltas = {
+            "fetch_log": fetch_log,
+            "extracted": reviews,
+            "pagetext": pagetexts,
+            "seen": seen_delta,
+            "metrics": metrics,
+        }
+        is_checkpoint = (
+            cfg.checkpoint_every <= 1
+            or wave_id % cfg.checkpoint_every == 0
+            or stats["attempted"] == 0
+            or wave_id >= cfg.max_supersteps
         )
+        if is_checkpoint:
+            tables = {"frontier": frontier_next}
+            for name, df in deltas.items():
+                acc = self._pending_deltas.get(name, [])
+                for prev in acc:
+                    df = prev.unionByName(df)
+                tables[name] = df
+            self._commit(wave_id, tables)
+            self._drop_transients()
+        else:
+            # eager localCheckpoints: materialize the rows (so the
+            # persisted parents below can be released) and truncate
+            # lineage so the iterative plan never deepens
+            new_frontier = frontier_next.localCheckpoint(eager=True)
+            for name, df in deltas.items():
+                self._pending_deltas.setdefault(name, []).append(
+                    df.localCheckpoint(eager=True)
+                )
+            if self._frontier_cache is not None:
+                self._frontier_cache.unpersist()
+            self._frontier_cache = new_frontier
         union.unpersist()
         fetched.unpersist()
         stats["pending"] = None  # filled by run()
         return stats
+
+    def _drop_transients(self) -> None:
+        if self._frontier_cache is not None:
+            self._frontier_cache.unpersist()
+            self._frontier_cache = None
+        self._pending_deltas = {}
 
     # ------------------------------------------------------------------- run
 
@@ -359,4 +414,9 @@ class CrawlEngine:
         part = (
             {"frontier": ["host_bucket"]} if self.cfg.partition_frontier else None
         )
+        if self.cfg.write_partitions:
+            tables = {
+                name: df.coalesce(self.cfg.write_partitions)
+                for name, df in tables.items()
+            }
         self.store.commit(wave_id, tables, partition_by=part)

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit
 
-from go_scrapper_spark.functions.extract import extract_page
+from go_scrapper_spark.functions.extract import extract_page, extract_search_candidates
+from go_scrapper_spark.functions.strdist import levenshtein
 from go_scrapper_spark.functions.urltools import canonicalize_url
 from go_scrapper_spark.sources import synthetic_web as sw
 
@@ -45,9 +46,34 @@ class ModelCrawl:
         self.frontier: dict[str, dict] = {}
         self.fetch_log: list[tuple] = []
 
+    def resolve_profile_key(self, s: dict) -> str:
+        """Search → hovercard → deterministic match (mirrors
+        plans/search.py exactly; §3.2)."""
+        url = sw.search_url(self.web_cfg, s["task_id"])
+        body = self.pages.get(url)
+        if body is None:
+            return ""
+        cands = extract_search_candidates(url, body)
+        if not cands:
+            return ""
+        t_name = s["business_name"]
+        t_text = f"{s['street']}, {s['city']}, {s['state']} {s['zip']}"
+        best = min(
+            cands,
+            key=lambda c: (
+                levenshtein(t_name, c["cand_name"])
+                + levenshtein(t_text, c["cand_text"]),
+                c["cand_url"],
+            ),
+        )
+        return best["cand_url"]
+
     def seed(self):
         for s in sw.seed_rows(self.web_cfg):
-            url = canonicalize_url(s["profile_key"])
+            key = s["profile_key"] or self.resolve_profile_key(s)
+            if not key:
+                continue
+            url = canonicalize_url(key)
             if url and url not in self.frontier:
                 self.frontier[url] = {
                     "url": url,

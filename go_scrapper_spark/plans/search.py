@@ -1,0 +1,105 @@
+"""Search → hovercard → match profile-key resolution (SURVEY.md §3.2).
+
+Tasks whose ``profile_key`` is empty resolve it by: building the
+search URL (P14, QueryEscape semantics — main.go:427-431), fetch-
+joining the pages table, extracting hovercard candidates with the
+island regex (P2/F2/F3), and picking the winner with a deterministic
+in-engine matcher (J1/J2) that replaces the reference's external match
+service POST (S5, main.go:434-468): score = levenshtein(name) +
+levenshtein(address text), argmin with URL tie-break.
+
+Divergences from the reference, both documented + determinized:
+- the external matcher is an in-engine edit-distance argmin;
+- the winner URL is used as-is (the reference prefixes
+  ``https://www.yelp.com`` — main.go:442 — which only works because it
+  is single-host).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.functions.extract import extract_search_candidates
+
+SEARCH_HOST = "www.search.example"
+
+CAND_DDL = (
+    "task_id int, cand_name string, cand_text string, "
+    "cand_url string, cand_reviews double"
+)
+
+
+def build_search_url(seeds: DataFrame) -> DataFrame:
+    """QueryEscape(name/address) exactly as main.go:427-430 —
+    Spark's url_encode is application/x-www-form-urlencoded, the same
+    encoding as Go's url.QueryEscape."""
+    address = F.concat_ws(" ", "street", "state", "city", "zip")
+    return seeds.withColumn(
+        "search_url",
+        F.concat(
+            F.lit(f"https://{SEARCH_HOST}/search?find_desc="),
+            F.url_encode(F.col("business_name")),
+            F.lit("&find_loc="),
+            F.url_encode(address),
+        ),
+    )
+
+
+def _extract_candidates(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for task_id, url, body in zip(pdf["task_id"], pdf["search_url"], pdf["html"]):
+            if body is None:
+                continue
+            for c in extract_search_candidates(url, bytes(body)):
+                rows.append({"task_id": int(task_id), **c})
+        yield pd.DataFrame(
+            rows, columns=["task_id", "cand_name", "cand_text", "cand_url", "cand_reviews"]
+        )
+
+
+def resolve_profile_keys(seeds: DataFrame, pages: DataFrame) -> DataFrame:
+    """Return the seeds with empty profile_keys resolved (tasks whose
+    search yields no candidates keep '' — NO_SEARCH_RESULTS, F6)."""
+    direct = seeds.filter(F.col("profile_key") != "")
+    searchy = seeds.filter(F.col("profile_key") == "")
+
+    with_urls = build_search_url(searchy)
+    fetched = with_urls.join(
+        pages.select(F.col("url").alias("search_url"), "html"), "search_url", "left"
+    )
+    cands = fetched.select("task_id", "search_url", "html").mapInPandas(
+        _extract_candidates, schema=CAND_DDL
+    )
+
+    # target text = street + ", " + city + ", " + state + " " + zip (main.go:361)
+    target = searchy.select(
+        "task_id",
+        F.col("business_name").alias("t_name"),
+        F.concat_ws(
+            "", F.col("street"), F.lit(", "), F.col("city"), F.lit(", "),
+            F.col("state"), F.lit(" "), F.col("zip"),
+        ).alias("t_text"),
+    )
+    scored = cands.join(F.broadcast(target), "task_id").withColumn(
+        "score",
+        F.levenshtein("t_name", "cand_name") + F.levenshtein("t_text", "cand_text"),
+    )
+    w = Window.partitionBy("task_id").orderBy(
+        F.col("score").asc(), F.col("cand_url").asc()
+    )
+    winners = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("task_id", F.col("cand_url").alias("resolved_key"))
+    )
+    resolved = (
+        searchy.join(winners, "task_id", "left")
+        .withColumn("profile_key", F.coalesce("resolved_key", F.lit("")))
+        .drop("resolved_key")
+    )
+    return direct.unionByName(resolved)

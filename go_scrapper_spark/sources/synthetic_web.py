@@ -116,6 +116,97 @@ def dead_url(cfg: WebConfig, biz: int) -> str:
     return f"https://{host_of_biz(cfg, biz)}/missing/{biz}"
 
 
+SEARCH_HOST = "www.search.example"
+
+
+def needs_search(cfg: WebConfig, biz: int) -> bool:
+    """Every 3rd task ships without a profile_key and goes through the
+    search → hovercard → match resolution phase (main.go:263-267)."""
+    return biz % 3 == 1
+
+
+def search_url(cfg: WebConfig, biz: int) -> str:
+    """Search URL built like main.go:427-430 (QueryEscape name + loc),
+    then RFC-3986-canonicalized (query params sorted)."""
+    from urllib.parse import quote_plus
+
+    s = seed_address(cfg, biz)
+    address = f"{s['street']} {s['state']} {s['city']} {s['zip']}"
+    name = business_name(cfg, biz)
+    return (
+        f"https://{SEARCH_HOST}/search"
+        f"?find_desc={quote_plus(name)}&find_loc={quote_plus(address)}"
+    )
+
+
+def seed_address(cfg: WebConfig, biz: int) -> dict:
+    return {
+        "street": f"{100 + biz} Main St",
+        "city": "Springfield",
+        "state": "OR",
+        "zip": f"97{biz % 100:03d}",
+    }
+
+
+def search_candidates(cfg: WebConfig, biz: int) -> list[dict]:
+    """Hovercard candidates: the true business, a decoy, and an ad
+    (filtered by F3, main.go:401). Flat objects only — the reference's
+    non-greedy island regex (main.go:366) requires no nested '}}'
+    before the end of the hovercard map."""
+    decoy = (biz + 7) % cfg.n_biz
+    addr = seed_address(cfg, biz)
+    return [
+        {
+            "key": f"c{biz}a",
+            "name": business_name(cfg, biz) + " Annex",
+            "addressLines": [f"{900 + biz} Side St", "Springfield"],
+            "businessUrl": profile_url(cfg, decoy),
+            "numReviews": float(review_count(cfg, decoy)),
+            "isAd": False,
+        },
+        {
+            "key": f"c{biz}b",
+            "name": business_name(cfg, biz),
+            "addressLines": [addr["street"], f"Springfield, OR {addr['zip']}"],
+            "businessUrl": profile_url(cfg, biz),
+            "numReviews": float(review_count(cfg, biz)),
+            "isAd": False,
+        },
+        {
+            "key": f"c{biz}c",
+            "name": "Sponsored " + business_name(cfg, biz),
+            "addressLines": ["1 Ad Way"],
+            "businessUrl": profile_url(cfg, (biz + 3) % cfg.n_biz),
+            "numReviews": 999.0,
+            "isAd": True,
+        },
+    ]
+
+
+def search_page_html(cfg: WebConfig, biz: int) -> tuple[str, str]:
+    """Search result page with the hovercardData JSON island inside a
+    script[type="application/json"] (main.go:364-372)."""
+    cands = search_candidates(cfg, biz)
+    hover = {
+        c["key"]: {
+            "name": c["name"],
+            "addressLines": c["addressLines"],
+            "businessUrl": c["businessUrl"],
+            "numReviews": c["numReviews"],
+            "isAd": c["isAd"],
+        }
+        for c in cands
+    }
+    island = json.dumps({"hovercardData": hover}, separators=(",", ":"))
+    page = (
+        "<html><body>"
+        f'<script type="application/json">{island}</script>'
+        f"<h2>results for {_esc(business_name(cfg, biz))}</h2>"
+        "</body></html>"
+    )
+    return page, f"results for {business_name(cfg, biz)}"
+
+
 def fail_attempts_for(cfg: WebConfig, url: str) -> int:
     """Transient-failure injection: first N fetch attempts return 503.
     Deterministic from the url — computed identically by the engine's
@@ -261,7 +352,7 @@ def profile_page_html(cfg: WebConfig, biz: int) -> tuple[str, str]:
     for k in range(cfg.cross_links):
         other = _h(cfg, "xl", biz, k) % cfg.n_biz
         if other != biz:
-            links.append(f'<a href="/biz/the-spot-{other}">also try</a>')
+            links.append(f'<a href="{profile_url(cfg, other)}">also try</a>')
     links.append('<a href="/private/admin">internal</a>')  # robots-disallowed
     links.append('<a href="https://www.offsite.example/x">offsite</a>')  # host filter
     if biz % cfg.dead_link_every == 0:
@@ -375,6 +466,10 @@ def pages_for_biz(cfg: WebConfig, biz: int) -> list[tuple[str, int, bytes, str, 
     ts = _WARC_EPOCH + biz
     lang = ("en", "es", "de", "fr")[_h(cfg, "lg", biz) % 4]
 
+    if needs_search(cfg, biz):
+        h, t = search_page_html(cfg, biz)
+        rows.append((search_url(cfg, biz), ts, h.encode(), t, lang))
+
     h, t = profile_page_html(cfg, biz)
     rows.append((profile_url(cfg, biz), ts, h.encode(), t, lang))
 
@@ -414,23 +509,25 @@ def robots_rows(cfg: WebConfig) -> list[dict]:
 
 
 def seed_rows(cfg: WebConfig) -> list[dict]:
-    """One crawl task per business (Spider struct mirror)."""
-    return [
-        {
-            "task_id": b,
-            "profile_key": profile_url(cfg, b),
-            "business_name": business_name(cfg, b),
-            "street": f"{100 + b} Main St",
-            "city": "Springfield",
-            "state": "OR",
-            "zip": f"97{b % 100:03d}",
-            "last_review_hashes": [],
-            "first_page_only": 0,
-            "proxy": "",
-            "seq": b,
-        }
-        for b in range(cfg.n_biz)
-    ]
+    """One crawl task per business (Spider struct mirror). Tasks with an
+    empty profile_key take the search→match resolution path
+    (main.go:263-267)."""
+    out = []
+    for b in range(cfg.n_biz):
+        addr = seed_address(cfg, b)
+        out.append(
+            {
+                "task_id": b,
+                "profile_key": "" if needs_search(cfg, b) else profile_url(cfg, b),
+                "business_name": business_name(cfg, b),
+                **addr,
+                "last_review_hashes": [],
+                "first_page_only": 0,
+                "proxy": "",
+                "seq": b,
+            }
+        )
+    return out
 
 
 def robots_df(spark, cfg: WebConfig):

@@ -11,10 +11,18 @@ from pyspark.sql import functions as F
 
 from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
 from go_scrapper_spark.plans.reference_model import ModelCrawl
+from go_scrapper_spark.plans.search import resolve_profile_keys
 from go_scrapper_spark.sources import synthetic_web as sw
 from go_scrapper_spark.sources.storage import SnapshotStore
 
 CFG = sw.WebConfig(n_biz=8)
+
+
+def _seeds(spark):
+    """Seeds with the empty-profile_key tasks resolved through the
+    search→match phase (§3.2) first."""
+    pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+    return resolve_profile_keys(sw.seeds_df(spark, CFG), pages)
 
 
 def _engine(spark, store):
@@ -31,7 +39,7 @@ def run(spark):
     base = tempfile.mkdtemp(prefix="crawl-eq-")
     store = SnapshotStore(spark, base)
     eng = _engine(spark, store)
-    total = eng.run(sw.seeds_df(spark, CFG))
+    total = eng.run(_seeds(spark))
     model = ModelCrawl(CFG)
     m = model.run()
     yield eng, store, total, m
@@ -110,6 +118,31 @@ def test_extracted_text_byte_identical(run):
     assert bad.count() == 0
 
 
+def test_checkpoint_interval_preserves_semantics(spark, run):
+    """checkpoint_every=3 (localCheckpoint between commits) must yield
+    the identical fetch log and final frontier."""
+    _eng, _store, _total, m = run
+    base = tempfile.mkdtemp(prefix="crawl-ckpt-")
+    try:
+        store = SnapshotStore(spark, base)
+        pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+        eng = CrawlEngine(
+            spark, pages, sw.robots_df(spark, CFG), store,
+            CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(CFG, u),
+                        checkpoint_every=3),
+        )
+        eng.run(_seeds(spark))
+        assert _engine_log(store) == sorted(m["fetch_log"])
+        ef = {
+            r["url"]: (r["state"], r["attempt"])
+            for r in store.read_snapshot_table(store.latest_wave(), "frontier").collect()
+        }
+        mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+        assert ef == mf
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_resume_after_kill_is_identical(spark, run):
     """Kill after wave 2 → resume → byte-identical final fetch log and
     frontier (wave-id-stamped idempotent commits, SURVEY.md §4.2-5)."""
@@ -118,7 +151,7 @@ def test_resume_after_kill_is_identical(spark, run):
     try:
         store = SnapshotStore(spark, base)
         eng = _engine(spark, store)
-        eng.seed(sw.seeds_df(spark, CFG))
+        eng.seed(_seeds(spark))
         eng.run_superstep(1)
         eng.run_superstep(2)
         # simulate a crash mid-superstep 3: parquet written, no manifest
