@@ -1,0 +1,134 @@
+"""Unit tests for the training-data pipeline operators (dedup,
+similarity, text stats, multimodal plumbing) on hand-built inputs with
+known answers. The cross-engine exactness of the same operators is
+separately enforced by the DuckDB oracle (tools/check_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.functions import textstats
+from go_scrapper_spark.operators import dedupe, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a sleepy dog"),  # near dup of 0
+        (3, "completely different words entirely here now"),
+        (4, "a a a the the the a a the tokens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = dedupe.exact_dedup_groups(docs).collect()
+    by_canon = {r["canonical_id"]: r["n_dups"] for r in groups}
+    assert by_canon[0] == 2  # docs 0 and 1 collapse
+    assert by_canon[2] == 1
+    assert len(groups) == 4
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+        for r in dedupe.ngram_jaccard_pairs(docs, n=3, num=1, den=5).collect()
+    }
+    assert (0, 1) in pairs
+    inter, uni = pairs[(0, 1)]
+    assert inter == uni  # identical docs: jaccard 1
+    assert (0, 2) in pairs  # near dup shares most 3-grams
+    assert (0, 3) not in pairs
+
+
+def test_minhash_identical_docs_full_band_match(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["sig_matches"]
+        for r in dedupe.minhash_lsh_pairs(docs, k=6, n=3, bands=3).collect()
+    }
+    assert pairs[(0, 1)] == 6  # identical → all signature components equal
+
+
+def test_simhash_identical_docs_equal(docs):
+    fps = {r["doc"]: r["simhash"] for r in dedupe.simhash(docs).collect()}
+    assert fps[0] == fps[1]
+    assert 0 <= fps[0] < 2 ** 16
+    assert fps[0] != fps[3]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    def vec(*hot):
+        v = [0.0] * 64
+        for i, val in hot:
+            v[i] = val
+        return v
+
+    rows = [
+        (0, vec((0, 1.0))),                 # query 0
+        (1, vec((1, 1.0))),                 # query 1
+        (5, vec((0, 0.9), (1, 0.1))),       # closest to q0
+        (6, vec((0, 0.5))),
+        (7, vec((1, 0.8))),                 # closest to q1
+        (8, vec((2, 1.0))),                 # orthogonal
+        (9, vec((0, 0.9), (1, 0.1))),       # identical to 5
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_dot(emb):
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.topk_dot(emb, k=2, n_queries=2).collect()
+    }
+    # q0: 5 and 9 tie at dot=900000 → id tiebreak; then 6
+    assert got[(0, 1)] == 5 and got[(0, 2)] == 9
+    assert got[(1, 1)] == 7
+
+
+def test_cosine_near_dup(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.cosine_near_dup_pairs(emb, num=99, den=100).collect()}
+    assert (5, 9) in pairs  # identical vectors, cos = 1
+    assert (0, 8) not in pairs  # orthogonal
+
+
+def test_lsh_bucket_neighbors_subset_of_bruteforce(emb):
+    lsh = similarity.lsh_bucketed_neighbors(emb, k=3, n_queries=2)
+    brute = similarity.topk_dot(emb, k=10, n_queries=2)
+    lsh_pairs = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    assert lsh_pairs <= brute_pairs
+
+
+def test_text_quality_and_langid(docs):
+    q = {r["doc_id"]: r for r in textstats.text_quality(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["n_func_words"] == 2  # 'the' twice... plus none else in stoplist
+    lang = {r["doc_id"]: r for r in textstats.lang_id(docs).collect()}
+    assert lang[4]["lang_guess"] == "en_like"  # function-word salad
+    assert lang[3]["lang_guess"] == "other"
+
+
+def test_fingerprint_stable(docs):
+    fp = {r["doc_id"]: r for r in textstats.fingerprint(docs).collect()}
+    assert fp[0]["doc_md5"] == fp[1]["doc_md5"]
+    assert fp[0]["min_gram_md5"] == fp[1]["min_gram_md5"]
+    assert fp[0]["doc_md5"] != fp[3]["doc_md5"]
+
+
+def test_multimodal_stub_plumbing(docs):
+    meta = {
+        r["doc_id"]: r
+        for r in multimodal.image_meta(multimodal.attach_payload(docs)).collect()
+    }
+    text0 = "the quick brown fox jumps over the lazy dog"
+    assert meta[0]["n_bytes"] == len(text0.encode())
+    assert meta[0]["fake_width"] == len(text0.encode()) % 640
+    assert meta[0]["mode"] == "stub"
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"\x89PNG")
