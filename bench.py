@@ -37,8 +37,11 @@ def crawl_bench(spark, n_biz: int) -> dict:
     cfg = sw.WebConfig(
         n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
         max_parallel=2000, crawl_delay_ms=1,
+        text_words=int(os.environ.get("BENCH_TEXT_WORDS", "40")),
     )
-    pages = sw.generate_pages_df(spark, cfg).persist()
+    # fixed task count regardless of core count: the scaling comparison
+    # (tools/scaling_bench.py) must queue identical work at both sizes
+    pages = sw.generate_pages_df(spark, cfg, n_partitions=64).persist()
     n_pages = pages.count()  # materialize the synthetic web before timing
 
     store = SnapshotStore(spark, tempfile.mkdtemp(prefix="bench-crawl-"))
@@ -70,15 +73,22 @@ def extract_bench(spark, n_biz: int) -> dict:
     from go_scrapper_spark.functions.extract import extract_pages
     from go_scrapper_spark.sources import synthetic_web as sw
 
-    cfg = sw.WebConfig(n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20)
-    pages = sw.generate_pages_df(spark, cfg).persist()
+    cfg = sw.WebConfig(n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
+                       text_words=int(os.environ.get("BENCH_TEXT_WORDS", "40")))
+    pages = sw.generate_pages_df(spark, cfg, n_partitions=64).persist()
     n_pages = pages.count()
+    mult = int(os.environ.get("BENCH_EXTRACT_X", "3"))
     fetched = pages.select(
-        "url", "html", F.lit(0).alias("depth"), F.lit(0).cast("long").alias("seq")
+        "url", "html", F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("seq"), F.lit(0).alias("fpo"),
     )
+    big = fetched
+    for _ in range(mult - 1):
+        big = big.unionByName(fetched)  # one large single-job pass
     t0 = time.time()
-    n_rows = extract_pages(fetched).count()
+    n_rows = extract_pages(big).count()
     wall = time.time() - t0
+    n_pages *= mult
     pages.unpersist()
     return {
         "extract_pages": n_pages,
@@ -97,7 +107,9 @@ def main():
     from go_scrapper_spark import oracle_queries as oq
     from go_scrapper_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", cores=cores)
+    # identical job config at every core count (a real N→4N cluster
+    # comparison changes executor count, not spark.sql.shuffle.partitions)
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=64)
 
     queries: dict[str, float] = {}
     t_all = time.time()

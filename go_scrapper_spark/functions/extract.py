@@ -68,7 +68,7 @@ def _dom_text(node) -> str:
 
 
 _UNION_COLS = [
-    "kind", "url", "out_url", "out_depth", "out_seq",
+    "kind", "url", "out_url", "out_depth", "out_seq", "out_fpo",
     "business_id", "review_count", "non_rec_count", "agg_score",
     "parent_id", "review_id", "author_id", "author_name", "text",
     "rating", "source_date", "not_recommended", "photos", "responses",
@@ -76,7 +76,7 @@ _UNION_COLS = [
 ]
 
 EXTRACT_UNION_DDL = (
-    "kind string, url string, out_url string, out_depth int, out_seq long, "
+    "kind string, url string, out_url string, out_depth int, out_seq long, out_fpo int, "
     "business_id string, review_count int, non_rec_count int, agg_score float, "
     "parent_id string, review_id string, author_id string, author_name string, "
     "text string, rating int, source_date string, not_recommended boolean, "
@@ -111,7 +111,7 @@ def _review_row(url: str, seq: int, idx: int, *, parent_id, review_id, author_id
 
 # --- per-page extractors ------------------------------------------------------
 
-def _extract_feed(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
+def _extract_feed(url: str, body: bytes, depth: int, seq: int, fpo: int = 0) -> list[dict]:
     """JSON review-feed page → review rows (main.go:671-744).
     Previous reviews are emitted before their parent, mirroring the
     reference's safeReviewAdd arrival order (main.go:735-738)."""
@@ -170,7 +170,7 @@ def _extract_feed(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
     return rows
 
 
-def _extract_profile(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
+def _extract_profile(url: str, body: bytes, depth: int, seq: int, fpo: int = 0) -> list[dict]:
     """Profile page (main.go:491-598): biz-id via meta tag else regex,
     histogram via ld+json, feed-page fanout (G1), non-rec bootstrap
     (G2), generic outlinks (G4, north rule)."""
@@ -214,18 +214,22 @@ def _extract_profile(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
             feed_base = resolve_url(
                 url, f"/biz/{bid}/review_feed?rl=en&sort_by=date_desc"
             )
-            for i in range(0, review_count, 10):
+            # FirstPageOnly: a single start=0 request (main.go:568-571)
+            stops = range(0, 1 if fpo else review_count, 10)
+            for i in stops:
                 rows.append(
                     _row("outlink", url,
                          out_url=canonicalize_url(f"{feed_base}&start={i}"),
-                         out_depth=depth + 1, out_seq=seq + SEQ_FEED + i)
+                         out_depth=depth + 1, out_seq=seq + SEQ_FEED + i,
+                         out_fpo=fpo)
                 )
         rows.append(
             _row("outlink", url,
                  out_url=canonicalize_url(
                      resolve_url(url, f"/not_recommended_reviews/{bid}")
                  ),
-                 out_depth=depth + 1, out_seq=seq + SEQ_NONREC_ROOT)
+                 out_depth=depth + 1, out_seq=seq + SEQ_NONREC_ROOT,
+                 out_fpo=fpo)
         )
 
     k = 0
@@ -236,13 +240,14 @@ def _extract_profile(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
         rows.append(
             _row("outlink", url,
                  out_url=canonicalize_url(resolve_url(url, href)),
-                 out_depth=depth + 1, out_seq=seq + SEQ_GENERIC + k)
+                 out_depth=depth + 1, out_seq=seq + SEQ_GENERIC + k,
+                 out_fpo=fpo)
         )
         k += 1
     return rows
 
 
-def _extract_nonrec_root(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
+def _extract_nonrec_root(url: str, body: bytes, depth: int, seq: int, fpo: int = 0) -> list[dict]:
     """Non-recommended bootstrap page (main.go:771-815): parse the h3
     count, fan out ?not_recommended_start=i pages step 10."""
     dom = htmlmini.parse_html(body.decode("utf-8"))
@@ -257,16 +262,17 @@ def _extract_nonrec_root(url: str, body: bytes, depth: int, seq: int) -> list[di
     h3 = htmlmini.select(dom, "h3")
     rows.append(_row("pagetext", url, text=_dom_text(h3[0]).strip() if h3 else ""))
     if count:
-        for i in range(0, count, 10):
+        for i in range(0, 1 if fpo else count, 10):
             rows.append(
                 _row("outlink", url,
                      out_url=canonicalize_url(f"{url}?not_recommended_start={i}"),
-                     out_depth=depth + 1, out_seq=seq + SEQ_NONREC_PAGE + i)
+                     out_depth=depth + 1, out_seq=seq + SEQ_NONREC_PAGE + i,
+                     out_fpo=fpo)
             )
     return rows
 
 
-def _extract_nonrec_page(url: str, body: bytes, depth: int, seq: int) -> list[dict]:
+def _extract_nonrec_page(url: str, body: bytes, depth: int, seq: int, fpo: int = 0) -> list[dict]:
     """Per-<li> CSS extraction of not-recommended reviews
     (main.go:836-931), including the reference's quirks:
     - author_id keeps the ``'userid=`` prefix (FindStringSubmatch()[0],
@@ -420,34 +426,37 @@ def _extract_search_page(url: str, body: bytes) -> list[dict]:
     return [_row("pagetext", url, text=_dom_text(h2[0]).strip() if h2 else "")]
 
 
-def extract_page(url: str, body: bytes, depth: int = 0, seq: int = 0) -> list[dict]:
+def extract_page(url: str, body: bytes, depth: int = 0, seq: int = 0,
+                 fpo: int = 0) -> list[dict]:
     """Dispatch one page to its extractor. Pure function — shared by the
-    Spark operator below and the pure-Python reference model."""
+    Spark operator below and the pure-Python reference model. ``fpo``
+    is the task's FirstPageOnly flag, inherited down the discovery
+    chain (main.go:568-571, 803-806)."""
     if "/review_feed?" in url:
-        return _extract_feed(url, body, depth, seq)
+        return _extract_feed(url, body, depth, seq, fpo)
     if "/not_recommended_reviews/" in url:
         if "not_recommended_start=" in url:
-            return _extract_nonrec_page(url, body, depth, seq)
-        return _extract_nonrec_root(url, body, depth, seq)
+            return _extract_nonrec_page(url, body, depth, seq, fpo)
+        return _extract_nonrec_root(url, body, depth, seq, fpo)
     if "/search?" in url:
         return _extract_search_page(url, body)
-    return _extract_profile(url, body, depth, seq)
+    return _extract_profile(url, body, depth, seq, fpo)
 
 
 def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (url, html, depth, seq) batches → union rows."""
     for pdf in it:
         out: list[dict] = []
-        for url, body, depth, seq in zip(
-            pdf["url"], pdf["html"], pdf["depth"], pdf["seq"]
+        for url, body, depth, seq, fpo in zip(
+            pdf["url"], pdf["html"], pdf["depth"], pdf["seq"], pdf["fpo"]
         ):
-            out.extend(extract_page(url, bytes(body), int(depth), int(seq)))
+            out.extend(extract_page(url, bytes(body), int(depth), int(seq), int(fpo)))
         yield pd.DataFrame(out, columns=_UNION_COLS)
 
 
 def extract_pages(fetched_df):
     """DataFrame[url, html, depth, seq, ...] → tagged-union DataFrame.
     Arrow-batched; html is read exactly once per page."""
-    return fetched_df.select("url", "html", "depth", "seq").mapInPandas(
+    return fetched_df.select("url", "html", "depth", "seq", "fpo").mapInPandas(
         extract_batches, schema=EXTRACT_UNION_DDL
     )

@@ -605,7 +605,10 @@ def q_crawl_bulk_extract(spark, sf):
     from go_scrapper_spark.sources.synthetic_web import WebConfig, generate_pages_df
 
     pages = generate_pages_df(spark, WebConfig(n_biz=40), n_partitions=8)
-    fetched = pages.select("url", "html", F.lit(0).alias("depth"), F.lit(0).cast("long").alias("seq"))
+    fetched = pages.select(
+        "url", "html", F.lit(0).alias("depth"),
+        F.lit(0).cast("long").alias("seq"), F.lit(0).alias("fpo"),
+    )
     u = extract_pages(fetched)
     return u.filter(F.col("kind") == "review").select(
         "url", "review_id", "author_id", "author_name", "text", "rating",

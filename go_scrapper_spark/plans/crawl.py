@@ -96,8 +96,16 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
-        # pages are immutable for the whole run: persist the join side once
-        self.pages = pages_df.select("url", "html").persist()
+        # pages are immutable for the whole run: hash-partition them by the
+        # join key ONCE and persist — every wave's fetch join then reuses
+        # this partitioning and only shuffles the (politeness-capped) wave
+        # side. This is the local analogue of the Iceberg bucket(url) /
+        # storage-partitioned-join design (SURVEY.md §4.2-3): the pages
+        # table is never re-shuffled per superstep.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        self.pages = (
+            pages_df.select("url", "html").repartition(n_part, "url").persist()
+        )
         self.robots = robots_df.persist()
         self.store = store
         self.budgets = host_budget(robots_df, self.cfg.window_ms, self.cfg.default_k)
@@ -105,6 +113,7 @@ class CrawlEngine:
         # transient inter-wave state for checkpoint_every > 1
         self._frontier_cache: DataFrame | None = None
         self._pending_deltas: dict[str, list[DataFrame]] = {}
+        self._pending_metrics: list[tuple] = []
 
     # ------------------------------------------------------------------ seeds
 
@@ -117,6 +126,7 @@ class CrawlEngine:
             .select(
                 canonicalize_udf(F.col("profile_key")).alias("url"),
                 (F.col("seq").cast("long") * SEED_SEQ_STRIDE).alias("seq"),
+                F.coalesce(F.col("first_page_only"), F.lit(0)).alias("fpo"),
             )
             .select(
                 "url",
@@ -127,6 +137,7 @@ class CrawlEngine:
                 .alias("host_bucket"),
                 F.lit(0).alias("depth"),
                 "seq",
+                "fpo",
                 F.lit(0).alias("attempt"),
                 F.lit("pending").alias("state"),
                 F.lit(0).cast("long").alias("wave_id"),
@@ -171,21 +182,47 @@ class CrawlEngine:
 
         from go_scrapper_spark.functions.ua import ua_col
 
-        fetch_log = fetched.select(
-            F.lit(wave_id).cast("long").alias("wave_id"),
-            "host", "url", "depth", "seq", "attempt", "status",
-            ua_col(F.col("url"), F.col("attempt")).alias("ua"),
+        # one materialization per subtree per wave: [1] wave select +
+        # fetch join, [2] extraction, [3] candidate pipeline. Everything
+        # downstream — deltas, stats, the frontier merge — is a lazy
+        # projection over these three. On waves that will commit, a lazy
+        # persist suffices (the table writes materialize it); on
+        # transient waves an eager localCheckpoint truncates lineage and
+        # carries the rows to the next commit.
+        planned_ckpt = (
+            cfg.checkpoint_every <= 1
+            or wave_id % cfg.checkpoint_every == 0
+            or wave_id >= cfg.max_supersteps
         )
+        mat = (
+            (lambda df: df.persist())
+            if planned_ckpt
+            else (lambda df: df.localCheckpoint(eager=True))
+        )
+        self._wave_mats = []
 
+        fetch_log = mat(
+            fetched.select(
+                F.lit(wave_id).cast("long").alias("wave_id"),
+                "host", "url", "depth", "seq", "attempt", "status",
+                ua_col(F.col("url"), F.col("attempt")).alias("ua"),
+                F.when(F.col("status") == 200, F.length("html"))
+                .otherwise(F.lit(0)).cast("long").alias("n_bytes"),
+            )
+        )
         ok = fetched.filter(F.col("status") == 200)
-        union = extract_pages(ok).persist()
+        union = mat(extract_pages(ok))
+        if planned_ckpt:
+            self._wave_mats += [fetch_log, union]
 
         reviews = self._finish_reviews(union.filter(F.col("kind") == "review"), wave_id)
         pagetexts = union.filter(F.col("kind") == "pagetext").select(
             F.lit(wave_id).cast("long").alias("wave_id"), "url", "text"
         )
 
-        new_rows = self._new_frontier_rows(union, frontier, wave_id)
+        new_rows = mat(self._new_frontier_rows(union, frontier, wave_id))
+        if planned_ckpt:
+            self._wave_mats.append(new_rows)
 
         # frontier merge (MERGE INTO on Iceberg; full-rewrite on parquet store)
         upd = fetched.select(
@@ -201,7 +238,7 @@ class CrawlEngine:
         frontier_next = (
             frontier.join(upd, "url", "left")
             .select(
-                "url", "url_hash", "host", "host_bucket", "depth", "seq",
+                "url", "url_hash", "host", "host_bucket", "depth", "seq", "fpo",
                 F.coalesce("_new_attempt", "attempt").alias("attempt"),
                 F.coalesce("_new_state", "state").alias("state"),
                 F.when(F.col("_new_state").isNotNull(), F.lit(wave_id).cast("long"))
@@ -218,14 +255,11 @@ class CrawlEngine:
         )
 
         if cfg.metrics:
-            # one combined agg over the persisted wave + one over the
-            # persisted extraction union (not five separate count jobs)
-            frow = fetched.agg(
+            # micro-jobs over the already-materialized checkpoints
+            frow = fetch_log.agg(
                 F.count("*").alias("attempted"),
                 F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
-                F.coalesce(
-                    F.sum(F.when(F.col("status") == 200, F.length("html"))), F.lit(0)
-                ).alias("bytes"),
+                F.sum("n_bytes").alias("bytes"),
             ).collect()[0]
             urow = union.agg(
                 F.count(F.when(F.col("kind") == "review", 1)).alias("reviews"),
@@ -235,34 +269,35 @@ class CrawlEngine:
                 "wave_id": wave_id,
                 "attempted": frow["attempted"],
                 "fetched": frow["fetched"],
-                "bytes": frow["bytes"],
+                "bytes": frow["bytes"] or 0,
                 "reviews": urow["reviews"],
                 "outlinks": urow["outlinks"],
             }
         else:
-            # still materialize both persisted frames at full parallelism
-            # (the coalesced writes below would otherwise collapse the
-            # extraction stage's task count)
             stats = {
                 "wave_id": wave_id,
-                "attempted": fetched.count(),
+                "attempted": fetch_log.count(),
                 "fetched": 0, "bytes": 0, "reviews": 0, "outlinks": 0,
             }
-            union.count()
-        metrics_rows = [
+            if planned_ckpt:
+                # materialize the persisted extraction at full parallelism
+                # before the coalesced write would collapse its task count
+                union.count()
+        self._pending_metrics.extend(
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
-        ]
-        metrics = self.spark.createDataFrame(
-            metrics_rows, "wave_id long, metric string, value long"
         )
 
+        # deltas are lazy projections over the wave's checkpointed frames —
+        # writing them at commit time costs no recompute of heavy stages
         deltas = {
             "fetch_log": fetch_log,
             "extracted": reviews,
             "pagetext": pagetexts,
             "seen": seen_delta,
-            "metrics": metrics,
         }
+        for name, df in deltas.items():
+            self._pending_deltas.setdefault(name, []).append(df)
+
         is_checkpoint = (
             cfg.checkpoint_every <= 1
             or wave_id % cfg.checkpoint_every == 0
@@ -271,27 +306,26 @@ class CrawlEngine:
         )
         if is_checkpoint:
             tables = {"frontier": frontier_next}
-            for name, df in deltas.items():
-                acc = self._pending_deltas.get(name, [])
-                for prev in acc:
-                    df = prev.unionByName(df)
-                tables[name] = df
+            for name, dfs in self._pending_deltas.items():
+                acc = dfs[0]
+                for nxt in dfs[1:]:
+                    acc = acc.unionByName(nxt)
+                tables[name] = acc
+            tables["metrics"] = self.spark.createDataFrame(
+                self._pending_metrics, "wave_id long, metric string, value long"
+            )
             self._commit(wave_id, tables)
             self._drop_transients()
         else:
-            # eager localCheckpoints: materialize the rows (so the
-            # persisted parents below can be released) and truncate
-            # lineage so the iterative plan never deepens
+            # job 4: frontier merge, lineage truncated for the next wave
             new_frontier = frontier_next.localCheckpoint(eager=True)
-            for name, df in deltas.items():
-                self._pending_deltas.setdefault(name, []).append(
-                    df.localCheckpoint(eager=True)
-                )
             if self._frontier_cache is not None:
                 self._frontier_cache.unpersist()
             self._frontier_cache = new_frontier
-        union.unpersist()
         fetched.unpersist()
+        for df in self._wave_mats:
+            df.unpersist()
+        self._wave_mats = []
         stats["pending"] = None  # filled by run()
         return stats
 
@@ -300,6 +334,7 @@ class CrawlEngine:
             self._frontier_cache.unpersist()
             self._frontier_cache = None
         self._pending_deltas = {}
+        self._pending_metrics = []
 
     # ------------------------------------------------------------------- run
 
@@ -335,6 +370,7 @@ class CrawlEngine:
                 F.col("out_url").alias("url"),
                 F.col("out_depth").alias("depth"),
                 F.col("out_seq").alias("seq"),
+                F.coalesce(F.col("out_fpo"), F.lit(0)).alias("fpo"),
             )
             .withColumn("host", _host_col(F.col("url")))
         )
@@ -342,8 +378,11 @@ class CrawlEngine:
         # in-wave dedup: first discovery wins (min (depth, seq) per url)
         cand = (
             cand.groupBy("url", "host")
-            .agg(F.min(F.struct("depth", "seq")).alias("_ds"))
-            .select("url", "host", F.col("_ds.depth").alias("depth"), F.col("_ds.seq").alias("seq"))
+            .agg(F.min(F.struct("depth", "seq", "fpo")).alias("_ds"))
+            .select(
+                "url", "host", F.col("_ds.depth").alias("depth"),
+                F.col("_ds.seq").alias("seq"), F.col("_ds.fpo").alias("fpo"),
+            )
         )
         # cross-superstep dedup: anti-join the frontier (exact J3; the
         # partitioned-bloom pre-filter narrows this at scale — see
@@ -354,7 +393,7 @@ class CrawlEngine:
             F.xxhash64("url").alias("url_hash"),
             "host",
             F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)).cast("int").alias("host_bucket"),
-            "depth", "seq",
+            "depth", "seq", "fpo",
             F.lit(0).alias("attempt"),
             F.lit("pending").alias("state"),
             F.lit(wave_id).cast("long").alias("wave_id"),

@@ -80,6 +80,7 @@ class ModelCrawl:
                     "host": (urlsplit(url).hostname or "").lower(),
                     "depth": 0,
                     "seq": s["seq"] * SEED_SEQ_STRIDE,
+                    "fpo": s.get("first_page_only") or 0,
                     "attempt": 0,
                     "state": "pending",
                 }
@@ -123,26 +124,26 @@ class ModelCrawl:
                 )
                 if status == 200:
                     r["state"] = "fetched"
-                    for row in extract_page(url, body, r["depth"], r["seq"]):
+                    for row in extract_page(url, body, r["depth"], r["seq"], r["fpo"]):
                         if row["kind"] != "outlink":
                             continue
                         ourl = row["out_url"]
                         host = (urlsplit(ourl).hostname or "").lower()
                         if not self._allowed(ourl, host):
                             continue
-                        key = (row["out_depth"], row["out_seq"], host)
+                        key = (row["out_depth"], row["out_seq"], row["out_fpo"], host)
                         if ourl not in candidates or key < candidates[ourl]:
                             candidates[ourl] = key
                 else:
                     r["attempt"] += 1
                     if r["attempt"] >= self.max_attempts:
                         r["state"] = "failed"
-            for ourl, (depth, seq, host) in candidates.items():
+            for ourl, (depth, seq, fpo, host) in candidates.items():
                 if ourl in self.frontier:
                     continue
                 self.frontier[ourl] = {
                     "url": ourl, "host": host, "depth": depth, "seq": seq,
-                    "attempt": 0, "state": "pending",
+                    "fpo": fpo, "attempt": 0, "state": "pending",
                 }
         return {
             "fetch_log": self.fetch_log,

@@ -67,6 +67,7 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("host_bucket", T.IntegerType(), False),
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("seq", T.LongType(), False),
+        T.StructField("fpo", T.IntegerType(), False),  # FirstPageOnly, inherited
         T.StructField("attempt", T.IntegerType(), False),
         T.StructField("state", T.StringType(), False),  # pending/fetched/failed/excluded
         T.StructField("wave_id", T.LongType(), False),

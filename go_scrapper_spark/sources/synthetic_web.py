@@ -44,6 +44,10 @@ class WebConfig:
     # reference's colly LimitRule — collyfunc.go:115-119, 179)
     max_parallel: int = 10
     crawl_delay_ms: int = 3000
+    # review text length scale: word count = text_words + h % (2*text_words).
+    # Default 3 keeps the small golden fixtures; benches use ~40 for
+    # realistic multi-KB page bodies.
+    text_words: int = 3
 
 
 # --- deterministic primitives ------------------------------------------------
@@ -223,7 +227,7 @@ def _display_text(cfg: WebConfig, biz: int, idx: int, non_rec: bool, prev: bool)
     kind = f"{'n' if non_rec else 'r'}{'p' if prev else ''}"
     words = [
         _WORDS[_h(cfg, "w", biz, idx, kind, j) % len(_WORDS)]
-        for j in range(3 + _h(cfg, "tl", biz, idx, kind) % 6)
+        for j in range(cfg.text_words + _h(cfg, "tl", biz, idx, kind) % (2 * cfg.text_words))
     ]
     base = " ".join(words)
     m = _h(cfg, "sp", biz, idx, kind) % 5
@@ -522,7 +526,7 @@ def seed_rows(cfg: WebConfig) -> list[dict]:
                 "business_name": business_name(cfg, b),
                 **addr,
                 "last_review_hashes": [],
-                "first_page_only": 0,
+                "first_page_only": 1 if b % 5 == 4 else 0,
                 "proxy": "",
                 "seq": b,
             }
