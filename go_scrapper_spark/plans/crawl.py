@@ -69,6 +69,14 @@ class CrawlConfig:
     # memory — identical semantics (a resume recomputes the uncommitted
     # waves deterministically), K× fewer commit round-trips.
     checkpoint_every: int = 1
+    # partitioned-bloom seen-filter (SURVEY.md §4.2-2): prefilter
+    # candidate URLs through per-bucket blooms so the exact anti-join
+    # touches only bloom-positives. Semantics identical (no false
+    # negatives — tests/test_seenfilter.py); the win appears when the
+    # frontier no longer fits a comfortable anti-join, i.e. at 10^8+.
+    use_bloom: bool = False
+    bloom_expected_per_bucket: int = 100_000
+    bloom_fpp: float = 0.01
 
 
 def _fail_udf(fn):
@@ -114,6 +122,10 @@ class CrawlEngine:
         self._frontier_cache: DataFrame | None = None
         self._pending_deltas: dict[str, list[DataFrame]] = {}
         self._pending_metrics: list[tuple] = []
+        # bloom seen-filter state (use_bloom): per-bucket blooms kept as
+        # a driver dict for the broadcast check variant, merged
+        # distributively each wave
+        self._blooms: dict | None = None
 
     # ------------------------------------------------------------------ seeds
 
@@ -163,19 +175,49 @@ class CrawlEngine:
             frontier = self.store.read_snapshot_table(
                 self.store.latest_wave(), "frontier"
             )
+        if cfg.use_bloom and self._blooms is None:
+            # (re)build from the current frontier — covers both fresh
+            # start and resume-from-snapshot
+            from go_scrapper_spark.operators import seenfilter as sfilter
+
+            seen0 = frontier.select(
+                "url_hash",
+                F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            )
+            self._blooms = sfilter.collect_blooms(
+                sfilter.build_blooms(
+                    seen0, cfg.bloom_expected_per_bucket, cfg.bloom_fpp
+                )
+            )
+
         pending = frontier.filter(
             (F.col("state") == "pending") & (F.col("attempt") < cfg.max_attempts)
         )
 
         wave = select_wave(pending, self.budgets, cfg.default_k)
 
+        # Fetch with IN-WAVE retries, mirroring the reference's immediate
+        # r.Request.Retry() loop (main.go:333-354, 1079-1099): a URL's
+        # transient failures and its eventual success/exhaustion all
+        # happen inside the politeness slot that dequeued it. fa = the
+        # number of leading attempts that fail transiently.
+        max_a = F.lit(cfg.max_attempts)
         fetched = (
             wave.join(self.pages, "url", "left")
+            .withColumn("_fa", self._fail_attempts(F.col("url")))
             .withColumn(
-                "status",
-                F.when(F.col("attempt") < self._fail_attempts(F.col("url")), F.lit(503))
-                .when(F.col("html").isNotNull(), F.lit(200))
-                .otherwise(F.lit(404)),
+                "_succ",
+                F.col("html").isNotNull() & (F.col("_fa") < max_a - F.col("attempt")),
+            )
+            .withColumn(
+                "_n_attempts",
+                F.when(F.col("_succ"), F.col("_fa") + 1 - F.col("attempt"))
+                .otherwise(max_a - F.col("attempt")),
+            )
+            .withColumn(
+                "status", F.when(F.col("_succ"), F.lit(200)).otherwise(
+                    F.when(F.col("html").isNotNull(), F.lit(503)).otherwise(F.lit(404))
+                )
             )
             .persist()
         )
@@ -201,16 +243,35 @@ class CrawlEngine:
         )
         self._wave_mats = []
 
+        # one log row per ATTEMPT (the reference logs each retry):
+        # attempt index i gets 503 while transient, then 200/404
+        att_i = F.col("_att")
         fetch_log = mat(
             fetched.select(
                 F.lit(wave_id).cast("long").alias("wave_id"),
-                "host", "url", "depth", "seq", "attempt", "status",
-                ua_col(F.col("url"), F.col("attempt")).alias("ua"),
-                F.when(F.col("status") == 200, F.length("html"))
-                .otherwise(F.lit(0)).cast("long").alias("n_bytes"),
+                "host", "url", "depth", "seq", "html", "_fa",
+                F.explode(
+                    F.sequence(
+                        F.col("attempt"),
+                        F.col("attempt") + F.col("_n_attempts") - 1,
+                    )
+                ).alias("_att"),
+            )
+            .select(
+                "wave_id", "host", "url", "depth", "seq",
+                att_i.alias("attempt"),
+                F.when(att_i < F.col("_fa"), F.lit(503))
+                .when(F.col("html").isNotNull(), F.lit(200))
+                .otherwise(F.lit(404))
+                .alias("status"),
+                ua_col(F.col("url"), att_i).alias("ua"),
+                F.when(
+                    (att_i >= F.col("_fa")) & F.col("html").isNotNull(),
+                    F.length("html"),
+                ).otherwise(F.lit(0)).cast("long").alias("n_bytes"),
             )
         )
-        ok = fetched.filter(F.col("status") == 200)
+        ok = fetched.filter(F.col("_succ"))
         union = mat(extract_pages(ok))
         if planned_ckpt:
             self._wave_mats += [fetch_log, union]
@@ -224,16 +285,42 @@ class CrawlEngine:
         if planned_ckpt:
             self._wave_mats.append(new_rows)
 
-        # frontier merge (MERGE INTO on Iceberg; full-rewrite on parquet store)
+        if cfg.use_bloom and self._blooms is not None:
+            # fold this wave's (politeness-bounded) delta into the bloom
+            # state. Driver-side numpy OR here; the distributive
+            # merge_bloom_delta path covers bucket counts too large to
+            # hold on the driver (tested in test_seenfilter.py).
+            import numpy as np
+
+            from go_scrapper_spark.operators import seenfilter as sfilter
+
+            delta = new_rows.select("url_hash").collect()
+            if delta:
+                arr = np.asarray([r["url_hash"] for r in delta], dtype=np.int64)
+                buckets = (arr % cfg.n_buckets + cfg.n_buckets) % cfg.n_buckets
+                default_shape = sfilter.bloom_params(
+                    cfg.bloom_expected_per_bucket, cfg.bloom_fpp
+                )
+                for bk in np.unique(buckets):
+                    raw, m_bits, k = self._blooms.get(
+                        int(bk), (bytes(default_shape[0] // 8), *default_shape)
+                    )
+                    bits = np.frombuffer(raw, dtype=np.uint8).copy()
+                    sfilter._set_bits(
+                        bits,
+                        sfilter._probe_positions(arr[buckets == bk], m_bits, k),
+                    )
+                    self._blooms[int(bk)] = (bits.tobytes(), m_bits, k)
+
+        # frontier merge (MERGE INTO on Iceberg; full-rewrite on parquet
+        # store). With in-wave retries a dequeued URL always terminates:
+        # fetched on success, failed after the 5-attempt budget.
         upd = fetched.select(
             "url",
-            F.when(F.col("status") == 200, F.lit("fetched"))
-            .when(F.col("attempt") + 1 >= cfg.max_attempts, F.lit("failed"))
-            .otherwise(F.lit("pending"))
+            F.when(F.col("_succ"), F.lit("fetched"))
+            .otherwise(F.lit("failed"))
             .alias("_new_state"),
-            F.when(F.col("status") == 200, F.col("attempt"))
-            .otherwise(F.col("attempt") + 1)
-            .alias("_new_attempt"),
+            (F.col("attempt") + F.col("_n_attempts")).alias("_new_attempt"),
         )
         frontier_next = (
             frontier.join(upd, "url", "left")
@@ -384,10 +471,17 @@ class CrawlEngine:
                 F.col("_ds.seq").alias("seq"), F.col("_ds.fpo").alias("fpo"),
             )
         )
-        # cross-superstep dedup: anti-join the frontier (exact J3; the
-        # partitioned-bloom pre-filter narrows this at scale — see
-        # operators/seenfilter.py)
-        cand = cand.join(frontier.select("url"), "url", "left_anti")
+        # cross-superstep dedup (exact J3): with use_bloom, the
+        # per-bucket bloom pre-pass routes only bloom-positives into the
+        # exact anti-join — same result, scales past anti-join comfort
+        if cfg.use_bloom and self._blooms is not None:
+            from go_scrapper_spark.operators.seenfilter import filter_unseen
+
+            cand = filter_unseen(
+                cand, frontier.select("url_hash"), self._blooms, cfg.n_buckets
+            )
+        else:
+            cand = cand.join(frontier.select("url"), "url", "left_anti")
         return cand.select(
             "url",
             F.xxhash64("url").alias("url_hash"),

@@ -109,20 +109,31 @@ class ModelCrawl:
                 rows.sort(key=lambda r: (r["depth"], r["seq"], r["url"]))
                 wave.extend(rows[: self.budgets.get(host, self.default_k)])
 
-            candidates: dict[str, tuple[int, int, str]] = {}
+            candidates: dict[str, tuple[int, int, int, str]] = {}
             for r in wave:
                 url = r["url"]
                 body = self.pages.get(url)
-                if r["attempt"] < sw.fail_attempts_for(self.web_cfg, url):
-                    status = 503
-                elif body is not None:
-                    status = 200
-                else:
-                    status = 404
-                self.fetch_log.append(
-                    (wave_id, r["host"], url, r["depth"], r["seq"], r["attempt"], status)
+                # in-wave retry loop mirroring the reference's immediate
+                # r.Request.Retry() (main.go:333-354, 1079-1099): the URL
+                # either succeeds or exhausts its 5-attempt budget inside
+                # the politeness slot that dequeued it
+                fa = sw.fail_attempts_for(self.web_cfg, url)
+                succ = body is not None and fa < self.max_attempts - r["attempt"]
+                n_attempts = (
+                    fa + 1 - r["attempt"] if succ else self.max_attempts - r["attempt"]
                 )
-                if status == 200:
+                for i in range(r["attempt"], r["attempt"] + n_attempts):
+                    if i < fa:
+                        status = 503
+                    elif body is not None:
+                        status = 200
+                    else:
+                        status = 404
+                    self.fetch_log.append(
+                        (wave_id, r["host"], url, r["depth"], r["seq"], i, status)
+                    )
+                r["attempt"] += n_attempts
+                if succ:
                     r["state"] = "fetched"
                     for row in extract_page(url, body, r["depth"], r["seq"], r["fpo"]):
                         if row["kind"] != "outlink":
@@ -135,9 +146,7 @@ class ModelCrawl:
                         if ourl not in candidates or key < candidates[ourl]:
                             candidates[ourl] = key
                 else:
-                    r["attempt"] += 1
-                    if r["attempt"] >= self.max_attempts:
-                        r["state"] = "failed"
+                    r["state"] = "failed"
             for ourl, (depth, seq, fpo, host) in candidates.items():
                 if ourl in self.frontier:
                     continue

@@ -96,8 +96,8 @@ def test_politeness_budget_respected(run):
     over = (
         store.read_appended("fetch_log")
         .groupBy("wave_id", "host")
-        .count()
-        .filter(F.col("count") > 10)
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .filter(F.col("n_urls") > 10)
     )
     assert over.count() == 0
 
@@ -129,6 +129,32 @@ def test_checkpoint_interval_preserves_semantics(spark, run):
         eng = CrawlEngine(
             spark, pages, sw.robots_df(spark, CFG), store,
             CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(CFG, u),
+                        checkpoint_every=3),
+        )
+        eng.run(_seeds(spark))
+        assert _engine_log(store) == sorted(m["fetch_log"])
+        ef = {
+            r["url"]: (r["state"], r["attempt"])
+            for r in store.read_snapshot_table(store.latest_wave(), "frontier").collect()
+        }
+        mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+        assert ef == mf
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bloom_seen_filter_preserves_semantics(spark, run):
+    """use_bloom=True (per-bucket bloom pre-pass before the exact
+    anti-join) must yield the identical fetch log and frontier."""
+    _eng, _store, _total, m = run
+    base = tempfile.mkdtemp(prefix="crawl-bloom-")
+    try:
+        store = SnapshotStore(spark, base)
+        pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+        eng = CrawlEngine(
+            spark, pages, sw.robots_df(spark, CFG), store,
+            CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(CFG, u),
+                        use_bloom=True, bloom_expected_per_bucket=64,
                         checkpoint_every=3),
         )
         eng.run(_seeds(spark))
