@@ -47,7 +47,7 @@ def crawl_bench(spark, n_biz: int) -> dict:
     store = SnapshotStore(spark, tempfile.mkdtemp(prefix="bench-crawl-"))
     engine = CrawlEngine(
         spark, pages, sw.robots_df(spark, cfg), store,
-        CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(cfg, u),
+        CrawlConfig(fail_attempts_col=lambda: sw.fail_attempts_col(cfg),
                     window_ms=2_000_000, checkpoint_every=4),
     )
     t0 = time.time()

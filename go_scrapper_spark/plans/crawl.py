@@ -56,7 +56,10 @@ class CrawlConfig:
     n_buckets: int = 64  # host/url hash buckets (skew + storage partitioning)
     max_supersteps: int = 1000
     partition_frontier: bool = False  # partitionBy(host_bucket) on write (scale mode)
-    fail_attempts_fn: object = None  # url -> int; transient-failure injection
+    fail_attempts_fn: object = None  # url -> int; transient-failure injection (Python)
+    # JVM-native failure expression (url column -> int column); preferred
+    # over fail_attempts_fn — keeps the fetch stage out of Python entirely
+    fail_attempts_col: object = None
     metrics: bool = True
     # small-file control for the parquet-snapshot backend: coalesce each
     # delta table to this many files before write. At cluster scale this
@@ -202,9 +205,14 @@ class CrawlEngine:
         # happen inside the politeness slot that dequeued it. fa = the
         # number of leading attempts that fail transiently.
         max_a = F.lit(cfg.max_attempts)
+        fa_expr = (
+            cfg.fail_attempts_col()
+            if cfg.fail_attempts_col is not None
+            else self._fail_attempts(F.col("url"))
+        )
         fetched = (
             wave.join(self.pages, "url", "left")
-            .withColumn("_fa", self._fail_attempts(F.col("url")))
+            .withColumn("_fa", fa_expr)
             .withColumn(
                 "_succ",
                 F.col("html").isNotNull() & (F.col("_fa") < max_a - F.col("attempt")),

@@ -214,9 +214,18 @@ def search_page_html(cfg: WebConfig, biz: int) -> tuple[str, str]:
 def fail_attempts_for(cfg: WebConfig, url: str) -> int:
     """Transient-failure injection: first N fetch attempts return 503.
     Deterministic from the url — computed identically by the engine's
-    fetch stage and the reference model."""
+    fetch stage (native-expression twin below) and the reference model."""
     v = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
     return 2 if v % cfg.flaky_mod == 0 else 0
+
+
+def fail_attempts_col(cfg: WebConfig):
+    """JVM-native twin of fail_attempts_for — keeps the fetch stage free
+    of Python (md5 hex prefix → int, same arithmetic)."""
+    from pyspark.sql import functions as F
+
+    v = F.conv(F.substring(F.md5(F.col("url").cast("binary")), 1, 8), 16, 10).cast("long")
+    return F.when(v % cfg.flaky_mod == 0, F.lit(2)).otherwise(F.lit(0))
 
 
 # --- review content -----------------------------------------------------------

@@ -28,9 +28,11 @@ def _seeds(spark):
 def _engine(spark, store):
     pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
     robots = sw.robots_df(spark, CFG)
+    # native failure expression in the engine vs the pure-Python twin in
+    # the model — the equivalence tests cross-validate the two
     return CrawlEngine(
         spark, pages, robots, store,
-        CrawlConfig(fail_attempts_fn=lambda u: sw.fail_attempts_for(CFG, u)),
+        CrawlConfig(fail_attempts_col=lambda: sw.fail_attempts_col(CFG)),
     )
 
 
