@@ -1,0 +1,112 @@
+"""CLI entry point (SURVEY.md S1/S2) — the reference's cobra command
+(`yelp -a <base64 json> -o out.jsonl`, main.go:179-220) re-expressed
+for spark-submit:
+
+    spark-submit --py-files dist/go_scrapper_spark.zip jobs/crawl.py \
+        -a <base64-json-task-list> -o /out/dir [--store /ckpt/dir]
+
+The -a payload is a base64 JSON array of Spider-style tasks
+(profile_key, business_name, address fields, last_review_hashes,
+first_page_only — main.go:31-52). Output: JSONL reviews byte-compatible
+with the reference sink (S6) + a -meta.json per run (S7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import time
+
+
+def parse_tasks(b64: str) -> list[dict]:
+    """S2: base64 → JSON → task rows (main.go:204-220). Accepts one
+    task object or a list."""
+    data = json.loads(base64.standard_b64decode(b64))
+    if isinstance(data, dict):
+        data = [data]
+    rows = []
+    for i, t in enumerate(data):
+        addr = t.get("address") or {}
+        rows.append(
+            {
+                "task_id": int(t.get("task_id", i)),
+                "profile_key": t.get("profile_key", ""),
+                "business_name": t.get("business_name", ""),
+                "street": addr.get("street", ""),
+                "city": addr.get("city", ""),
+                "state": addr.get("state", ""),
+                "zip": addr.get("zip", ""),
+                "last_review_hashes": t.get("last_review_hashes") or [],
+                "first_page_only": int(t.get("first_page_only", 0)),
+                "proxy": (t.get("persona") or {}).get("proxy", ""),
+                "seq": i,
+            }
+        )
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="crawl")
+    ap.add_argument("-a", "--additional-args", required=True,
+                    help="base64 JSON task (or task list)")
+    ap.add_argument("-o", "--output", required=True, help="output directory")
+    ap.add_argument("--pages", default=None,
+                    help="pages table path (parquet); default: synthetic web")
+    ap.add_argument("--store", default=None, help="snapshot/checkpoint dir")
+    ap.add_argument("--n-biz", type=int, default=50,
+                    help="synthetic web size when --pages is not given")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from go_scrapper_spark.plans.search import resolve_profile_keys
+    from go_scrapper_spark.schemas import SEEDS_SCHEMA
+    from go_scrapper_spark.session import get_spark
+    from go_scrapper_spark.sources import synthetic_web as sw
+    from go_scrapper_spark.sources.sinks import meta_json, write_jsonl
+    from go_scrapper_spark.sources.storage import SnapshotStore
+
+    spark = get_spark(app_name="crawl-job")
+    start = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+
+    cfg = sw.WebConfig(n_biz=args.n_biz)
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        pages = sw.generate_pages_df(spark, cfg)
+    seeds = spark.createDataFrame(
+        parse_tasks(args.additional_args), schema=SEEDS_SCHEMA
+    )
+    seeds = resolve_profile_keys(seeds, pages)
+
+    store = SnapshotStore(spark, args.store or (args.output + "-store"))
+    engine = CrawlEngine(
+        spark, pages, sw.robots_df(spark, cfg), store, CrawlConfig(checkpoint_every=4)
+    )
+    total = engine.run(seeds)
+
+    extracted = engine.ordered_extracted()
+    n = 0
+    if extracted is not None:
+        write_jsonl(extracted, args.output)
+        n = extracted.count()
+    status = "SUCCESS_SCRAPED" if n else "NO_REVIEWS"
+    meta = meta_json(
+        profile_key=";".join(r["profile_key"] for r in seeds.select("profile_key").collect()),
+        scraping_status=status,
+        item_scraped_count=n,
+        request_count=total["attempted"],
+        response_bytes=total["bytes"],
+        start_time=start,
+        finish_time=time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
+    )
+    with open(args.output.rstrip("/") + "-meta.json", "w") as f:
+        f.write(meta)
+    print(json.dumps(total))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
