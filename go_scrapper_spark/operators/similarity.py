@@ -67,26 +67,40 @@ def topk_dot(emb: DataFrame, k: int = 3, n_queries: int = 5,
 
 def cosine_near_dup_pairs(emb: DataFrame, num: int = 3, den: int = 10,
                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """All pairs with cosine ≥ num/den — integer-exact threshold."""
-    # norms computed once per vector (not per pair) before the self-join
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        quantize(F.col(vec_col)).alias("v"),
-        norm2_int(quantize(F.col(vec_col))).alias("n2"),
-    )
-    a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        dot_int(F.col("a.v"), F.col("b.v")).alias("dot"),
-        F.col("a.n2").alias("na"),
-        F.col("b.n2").alias("nb"),
-    )
-    return pairs.filter(
-        (F.col("dot") > 0)
-        & (F.col("dot") * F.col("dot") * (den * den)
-           >= F.col("na") * F.col("nb") * (num * num))
-    ).select("id_a", "id_b", "dot")
+    """All pairs with cosine ≥ num/den — integer-exact threshold.
+
+    Execution: the quantized matrix is small (n×dim int64 — the
+    "broadcast small side"); each Arrow batch of rows computes its
+    block of the pairwise dot products as one numpy int64 matmul
+    (vectorized C, exact). At corpus scale the all-pairs form is
+    replaced by LSH bucketing (``lsh_bucketed_neighbors``) or blocked
+    matmul over bucket joins — same kernel per block."""
+    import numpy as np
+    import pandas as pd
+
+    q = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    rows = q.collect()  # broadcast side: n×dim int64
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.int64)
+    norms = (mat * mat).sum(axis=1)
+
+    def block(it):
+        for pdf in it:
+            a_ids = pdf["id"].to_numpy()
+            a = np.array(list(pdf["v"]), dtype=np.int64)
+            dots = a @ mat.T  # exact int64 matmul
+            a_norms = (a * a).sum(axis=1)
+            # int64 is exact here: |q| ≤ ~1000·|x|, so dot ≤ dim·10^6 and
+            # dot²·den² ≤ ~4e17 < 2^63 for unit-scale embeddings
+            lhs = dots * dots * (den * den)
+            rhs = np.outer(a_norms, norms) * (num * num)
+            hit = (dots > 0) & (lhs >= rhs) & (a_ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": ids[bj], "dot": dots[ai, bj]}
+            )
+
+    return q.mapInPandas(block, schema="id_a long, id_b long, dot long")
 
 
 def lsh_projection_bucket(vec_col, n_planes: int = 4, dim: int = 64) -> F.Column:
