@@ -380,6 +380,71 @@ FROM customer
 """
 
 
+def q_w1_global_topk(spark, sf):
+    """W1 global date-desc sort with deterministic tiebreak, as top-100
+    (the reference's sorted result list, main.go:984-1007)."""
+    e = _t(spark, sf, "events")
+    w = Window.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .select("event_id", "rank")
+    )
+
+
+SQL_W1 = """
+SELECT event_id, rank FROM (
+  SELECT event_id,
+         CAST(row_number() OVER (ORDER BY ts DESC, event_id) AS BIGINT) AS rank
+  FROM events) WHERE rank <= 100
+"""
+
+
+def q_u2_distinct(spark, sf):
+    """U2 dedup as DISTINCT over a projection."""
+    l = _t(spark, sf, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct()
+
+
+SQL_U2 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_a3_greatest(spark, sf):
+    """A3 max-of fixup (histogram.Total_reviews = max(total, len),
+    main.go:317-319) as greatest() over integer cents."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.greatest(_cents("o_totalprice"), F.lit(10_000_000).cast("long")).alias(
+            "adj_cents"
+        ),
+    )
+
+
+SQL_A3 = """
+SELECT o_orderkey,
+       greatest(CAST(round(o_totalprice*100) AS BIGINT), CAST(10000000 AS BIGINT)) AS adj_cents
+FROM orders
+"""
+
+
+def q_a4_histogram(spark, sf):
+    """A4 aggregate-rating histogram shape: per-segment count + exact
+    integer sum (score passthrough analog)."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("total_reviews"),
+        F.sum(_cents("c_acctbal")).alias("sum_bal_cents"),
+    )
+
+
+SQL_A4 = """
+SELECT c_mktsegment, count(*) AS total_reviews,
+       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_bal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 # =============================================================================
 # Group B — training-data pipeline operators (documents / embeddings)
 # =============================================================================
@@ -633,6 +698,10 @@ QUERIES = {
     "f5_retry_filter": (q_f5_retry_filter, SQL_F5),
     "g1_pagination_fanout": (q_g1_pagination_fanout, SQL_G1),
     "u1_union_streams": (q_u1_union_streams, SQL_U1),
+    "u2_distinct": (q_u2_distinct, SQL_U2),
+    "w1_global_topk": (q_w1_global_topk, SQL_W1),
+    "a3_greatest": (q_a3_greatest, SQL_A3),
+    "a4_histogram": (q_a4_histogram, SQL_A4),
     "a5_rate_accounting": (q_a5_rate_accounting, SQL_A5),
     "p_scalar_suite": (q_p_scalar_suite, SQL_P),
     "p10_date_parse": (q_p10_date_parse, SQL_P10),
