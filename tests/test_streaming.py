@@ -13,6 +13,45 @@ from go_scrapper_spark.streaming.events_stream import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def test_harvest_stream_equals_batch_extraction(spark):
+    """foreachBatch harvest drain == batch extraction over the same
+    pages; a second drain with the same checkpoint adds nothing
+    (exactly-once via source offsets)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.functions.extract import extract_pages
+    from go_scrapper_spark.sources import synthetic_web as sw
+    from go_scrapper_spark.streaming.harvest import harvest_stream
+
+    cfg = sw.WebConfig(n_biz=6)
+    src = tempfile.mkdtemp(prefix="harvest-src-")
+    out = tempfile.mkdtemp(prefix="harvest-out-") + "/reviews"
+    ckpt = tempfile.mkdtemp(prefix="harvest-ckpt-")
+    try:
+        sw.generate_pages_df(spark, cfg, n_partitions=2).write.mode("overwrite").parquet(src)
+        harvest_stream(spark, src, out, ckpt)
+        got = spark.read.parquet(out)
+        exp = extract_pages(
+            spark.read.parquet(src).select(
+                "url", "html", F.lit(0).alias("depth"),
+                F.lit(0).cast("long").alias("seq"), F.lit(0).alias("fpo"),
+            )
+        ).filter(F.col("kind") == "review")
+        assert got.count() == exp.count() > 0
+        key = lambda r: (r["url"], r["review_id"] or "", r["review_hash"], r["text"])
+        g = sorted(map(key, got.select("url", "review_id", "review_hash", "text").collect()))
+        e = sorted(map(key, exp.select("url", "review_id", "review_hash", "text").collect()))
+        assert g == e
+        # idempotent re-drain: offsets already committed
+        harvest_stream(spark, src, out, ckpt)
+        assert spark.read.parquet(out).count() == len(g)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_stream_equals_batch(spark):
     src = tempfile.mkdtemp(prefix="events-src-")
     ckpt = tempfile.mkdtemp(prefix="events-ckpt-")
