@@ -11,8 +11,12 @@
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # repo-local pkg
 
 from pyspark.sql import DataFrame, SparkSession
 
