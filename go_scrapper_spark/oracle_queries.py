@@ -55,10 +55,10 @@ def q_a1_pricing_summary(spark, sf):
 
 SQL_A1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice*100) AS BIGINT)
-           * CAST(round((1-l_discount)*100) AS BIGINT)) AS sum_disc_c4,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c4,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -138,7 +138,7 @@ def q_j4_fetch_join(spark, sf):
 
 SQL_J4 = """
 SELECT o_orderpriority, count(*) AS n_items,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -440,7 +440,7 @@ def q_a4_histogram(spark, sf):
 
 SQL_A4 = """
 SELECT c_mktsegment, count(*) AS total_reviews,
-       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_bal_cents
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
 FROM customer GROUP BY c_mktsegment
 """
 

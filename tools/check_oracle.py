@@ -2,6 +2,14 @@
 oracle_queries entry on Spark and DuckDB at a given sf and compare
 row count + column names + order-insensitive values.
 
+The DuckDB side is materialized through pandas (``rel.df()``) exactly
+like the driver's value-hash path, so type-degradation bugs surface
+here too: DuckDB ``sum(BIGINT)`` returns HUGEINT, which pandas turns
+into float64 — a float64 column hashing against Spark's int64 is the
+round-1 a1/j4/a4 failure mode. Cells are normalized with their type
+class attached (int vs float vs str), so an int/float dtype mismatch
+is a FAIL even when the numeric values coincide.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -21,27 +29,39 @@ TABLES = (
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return round(v, 9)
+    """Normalize a cell to (type_class, value) so int64 vs float64
+    disagreements (the HUGEINT->float64 degradation) are mismatches."""
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):  # NaN -> null
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        return ("float", round(float(v), 9))
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
-    return v
+        return ("bytes", v.hex())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("list", tuple(norm_cell(x) for x in v))
+    if hasattr(v, "isoformat"):  # datetime/date/Timestamp
+        return ("ts", v.isoformat())
+    return ("str", str(v))
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def compare(name, spark_df, duck_pdf):
     s_cols = sorted(spark_df.columns)
-    d_cols = sorted(duck_cols)
+    d_cols = sorted(duck_pdf.columns)
     if s_cols != d_cols:
         return f"SCHEMA MISMATCH spark={s_cols} duck={d_cols}"
     s_rows = spark_df.collect()
-    if len(s_rows) != len(duck_rows):
-        return f"ROWCOUNT spark={len(s_rows)} duck={len(duck_rows)}"
+    if len(s_rows) != len(duck_pdf):
+        return f"ROWCOUNT spark={len(s_rows)} duck={len(duck_pdf)}"
     sidx = [spark_df.columns.index(c) for c in s_cols]
-    didx = [list(duck_cols).index(c) for c in d_cols]
     s_vals = sorted(tuple(norm_cell(r[i]) for i in sidx) for r in s_rows)
-    d_vals = sorted(tuple(norm_cell(r[i]) for i in didx) for r in duck_rows)
+    d_recs = duck_pdf[d_cols].itertuples(index=False, name=None)
+    d_vals = sorted(tuple(norm_cell(v) for v in rec) for rec in d_recs)
     if s_vals != d_vals:
         for a, b in zip(s_vals, d_vals):
             if a != b:
@@ -64,8 +84,7 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            rel = con.sql(sql)
-            err = compare(name, sdf, rel.fetchall(), rel.columns)
+            err = compare(name, sdf, con.sql(sql).df())
         except Exception as e:  # noqa: BLE001
             err = f"EXCEPTION {type(e).__name__}: {e}"
         dt = time.time() - t0
