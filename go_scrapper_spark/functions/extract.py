@@ -77,7 +77,7 @@ _UNION_COLS = [
 
 EXTRACT_UNION_DDL = (
     "kind string, url string, out_url string, out_depth int, out_seq long, out_fpo int, "
-    "business_id string, review_count int, non_rec_count int, agg_score float, "
+    "business_id string, review_count int, non_rec_count int, agg_score double, "
     "parent_id string, review_id string, author_id string, author_name string, "
     "text string, rating int, source_date string, not_recommended boolean, "
     "photos array<string>, "

@@ -31,6 +31,40 @@ def order_cols():
     ]
 
 
+def truncate_per_task(
+    extracted: DataFrame,
+    inc_hashes: dict[int, tuple[str, ...]],
+    seed_seq_stride: int = 10_000_000,
+) -> DataFrame:
+    """Multi-task cut-at-seen-hash (main.go:950-960 generalized): each
+    incremental task truncates at the first row, in W1 output order,
+    whose hash appears in THAT task's last_review_hashes. Tasks without
+    hashes pass through untouched. The hash table is O(task config) →
+    broadcast join; the cut is one window per task partition."""
+    if not inc_hashes:
+        return extracted
+    spark = extracted.sparkSession
+    hdf = spark.createDataFrame(
+        [(tk, h) for tk, hs in inc_hashes.items() for h in hs],
+        "_tk long, review_hash string",
+    ).withColumn("_hit_flag", F.lit(1))
+    str100 = seed_seq_stride * 100
+    tk = F.floor(F.col("arrival_idx") / str100).cast("long")
+    marked = extracted.withColumn("_tk", tk).join(
+        F.broadcast(hdf), ["_tk", "review_hash"], "left"
+    )
+    w = Window.partitionBy("_tk").orderBy(*order_cols())
+    wcut = Window.partitionBy("_tk")
+    rn = F.row_number().over(w)
+    marked = marked.withColumn("_rn", rn)
+    cut = F.min(F.when(F.col("_hit_flag").isNotNull(), F.col("_rn"))).over(wcut)
+    return (
+        marked.withColumn("_cut", cut)
+        .filter(F.col("_cut").isNull() | (F.col("_rn") < F.col("_cut")))
+        .drop("_tk", "_hit_flag", "_rn", "_cut")
+    )
+
+
 def truncate_at_seen_hash(
     extracted: DataFrame,
     last_hashes: list[str],

@@ -89,11 +89,17 @@ def build_blooms(seen: DataFrame, expected_per_bucket: int, fpp: float = 0.01) -
     )
 
 
-def merge_bloom_delta(blooms: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_bloom_delta(
+    blooms: DataFrame, delta: DataFrame, shape: tuple[int, int] | None = None
+) -> DataFrame:
     """OR a delta of (url_hash, bucket) into the per-bucket blooms.
-    New buckets inherit the existing (m_bits, k) shape."""
-    shape = blooms.select("m_bits", "k_hashes").first()
-    m_bits, k = int(shape["m_bits"]), int(shape["k_hashes"])
+    New buckets inherit the existing (m_bits, k) shape. Pass ``shape``
+    to skip the driver round-trip that infers it from the table (the
+    engine knows it from its config)."""
+    if shape is None:
+        row = blooms.select("m_bits", "k_hashes").first()
+        shape = (int(row["m_bits"]), int(row["k_hashes"]))
+    m_bits, k = shape
 
     joined = delta.select("url_hash", "bucket").groupBy("bucket").agg(
         F.collect_list("url_hash").alias("hashes")
@@ -152,6 +158,58 @@ def collect_blooms(blooms: DataFrame) -> dict[int, tuple[bytes, int, int]]:
         int(r["bucket"]): (bytes(r["bloom"]), int(r["m_bits"]), int(r["k_hashes"]))
         for r in blooms.collect()
     }
+
+
+def filter_unseen_join(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """filter_unseen with the bloom state as a TABLE instead of a
+    driver dict — the 10^10-scale shape. Candidates cogroup with the
+    bloom table on bucket (both sides shuffle on the same key; each
+    task sees one bucket's candidates next to that bucket's single
+    bloom row — the bloom bytes are never replicated per candidate and
+    never touch the driver). Bloom-negatives are provably unseen and
+    skip the exact check; bloom-positives anti-join against the exact
+    seen set. Result identical to a plain anti-join (equivalence- and
+    property-tested)."""
+    import pyspark.sql.types as ST
+
+    cand = candidates.withColumn(
+        "_bkt", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    ).withColumn("_h", F.xxhash64("url"))
+
+    def check(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf.assign(_maybe=pd.Series(dtype=bool))
+        if bloom_pdf.empty:
+            return cand_pdf.assign(_maybe=False)
+        raw = bytes(bloom_pdf["bloom"].iloc[0])
+        m_bits = int(bloom_pdf["m_bits"].iloc[0])
+        k = int(bloom_pdf["k_hashes"].iloc[0])
+        bits = np.frombuffer(raw, dtype=np.uint8)
+        h = cand_pdf["_h"].to_numpy()
+        maybe = _test_bits(bits, _probe_positions(h, m_bits, k))
+        return cand_pdf.assign(_maybe=maybe)
+
+    out_schema = ST.StructType(
+        cand.schema.fields + [ST.StructField("_maybe", ST.BooleanType())]
+    )
+    tagged = (
+        cand.groupBy("_bkt")
+        .cogroup(blooms.groupBy(F.col("bucket").alias("_bkt")))
+        .applyInPandas(check, schema=out_schema)
+    )
+    fresh = tagged.filter(~F.col("_maybe"))
+    suspects = tagged.filter(F.col("_maybe"))
+    confirmed_new = suspects.join(
+        seen.select(F.col("url_hash").alias("_sh")),
+        suspects["_h"] == F.col("_sh"),
+        "left_anti",
+    )
+    return fresh.unionByName(confirmed_new).drop("_maybe", "_bkt", "_h")
 
 
 def filter_unseen(

@@ -582,7 +582,12 @@ WHERE rank <= 3
 
 
 def q_emb_near_dup(spark, sf):
-    return similarity.cosine_near_dup_pairs(_t(spark, sf, "embeddings"), num=3, den=10)
+    # block_size=256 forces a multi-tile plan even at small sf, so the
+    # distributed blocked-matmul path (not a degenerate single tile) is
+    # what the oracle verifies
+    return similarity.cosine_near_dup_pairs(
+        _t(spark, sf, "embeddings"), num=3, den=10, block_size=256
+    )
 
 
 SQL_EMB_NEAR_DUP = """
@@ -658,6 +663,50 @@ FROM documents
 """
 
 
+def q_g3_probe_admission(spark, sf):
+    """G3 probe-window scheduling predicate shape (main.go:563-654;
+    engine: plans/crawl.py _probe_window_col + the gated pending
+    filter): tasks (o_custkey) paginate their pages (orders, in date
+    order) in 5-page probe windows; a per-task unlock level admits
+    windows <= unlocked, and the boundary aggregate is the min still-
+    locked window — exactly the admission + bookkeeping expressions
+    the crawl engine runs per superstep."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    pages = o.select("o_custkey", "o_orderkey", "o_orderdate").withColumn(
+        "probe_window", F.floor((F.row_number().over(w) - 1) / 5).cast("long")
+    ).withColumn("unlocked", F.pmod(F.col("o_custkey"), F.lit(4)).cast("long"))
+    return pages.groupBy("o_custkey").agg(
+        F.count(
+            F.when(F.col("probe_window") <= F.col("unlocked"), 1)
+        ).alias("n_admitted"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("probe_window") > F.col("unlocked"), F.col("probe_window")
+                )
+            ),
+            F.lit(-1).cast("long"),
+        ).alias("next_window"),  # -1 = no locked window left (boundary exhausted)
+    )
+
+
+SQL_G3 = """
+WITH pages AS (
+  SELECT o_custkey,
+         CAST(floor((row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) - 1) / 5) AS BIGINT) AS probe_window,
+         CAST(o_custkey % 4 AS BIGINT) AS unlocked
+  FROM orders)
+SELECT o_custkey,
+       CAST(count(CASE WHEN probe_window <= unlocked THEN 1 END) AS BIGINT) AS n_admitted,
+       CAST(COALESCE(min(CASE WHEN probe_window > unlocked THEN probe_window END), -1) AS BIGINT) AS next_window
+FROM pages GROUP BY o_custkey
+"""
+
+
 # =============================================================================
 # Group C — engine-native entries (no SQL oracle: rows-only check; the
 # strong check is tests/test_crawl_equivalence.py)
@@ -697,6 +746,7 @@ QUERIES = {
     "f4_prefix_truncate": (q_f4_prefix_truncate, SQL_F4),
     "f5_retry_filter": (q_f5_retry_filter, SQL_F5),
     "g1_pagination_fanout": (q_g1_pagination_fanout, SQL_G1),
+    "g3_probe_admission": (q_g3_probe_admission, SQL_G3),
     "u1_union_streams": (q_u1_union_streams, SQL_U1),
     "u2_distinct": (q_u2_distinct, SQL_U2),
     "w1_global_topk": (q_w1_global_topk, SQL_W1),

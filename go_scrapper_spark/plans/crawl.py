@@ -125,23 +125,54 @@ class CrawlEngine:
         self._frontier_cache: DataFrame | None = None
         self._pending_deltas: dict[str, list[DataFrame]] = {}
         self._pending_metrics: list[tuple] = []
-        # bloom seen-filter state (use_bloom): per-bucket blooms kept as
-        # a driver dict for the broadcast check variant, merged
-        # distributively each wave
-        self._blooms: dict | None = None
+        # bloom seen-filter state (use_bloom): the per-bucket bloom
+        # TABLE (bucket, bloom, m_bits, k_hashes) — held as an eagerly
+        # checkpointed DataFrame between waves, merged distributively
+        # (merge_bloom_delta) and committed with each snapshot. Bloom
+        # bytes never touch the driver: the membership check cogroups
+        # candidates with this table on bucket.
+        self._bloom_df: DataFrame | None = None
+        # G3 incremental-crawl state (main.go:563-654): per-task
+        # last_review_hashes and probe-window scheduler state. Both are
+        # O(task list) — the same driver-side scale as the reference's
+        # CLI payload — and are committed with every snapshot so a
+        # resumed run continues the probe schedule deterministically.
+        # None = not yet loaded (seed() or a resume populates it).
+        self._inc_hashes: dict[int, tuple[str, ...]] | None = None
+        self._inc_state: dict[int, dict] = {}
 
     # ------------------------------------------------------------------ seeds
 
     def seed(self, seeds_df: DataFrame) -> None:
         """Snapshot 0 = the seeded frontier (profile URLs, depth 0).
         seq = task_seq * stride reproduces the reference's
-        one-task-at-a-time issue order within each host."""
+        one-task-at-a-time issue order within each host.
+
+        Tasks with last_review_hashes enter incremental (G3) mode:
+        their hashes are collected driver-side (the task list is the
+        CLI payload — O(config), not O(data)) and FirstPageOnly is
+        ignored for them, mirroring the reference's else-if priority
+        (main.go:563-571)."""
+        self._inc_hashes = {}
+        for r in seeds_df.select("seq", "last_review_hashes").collect():
+            hashes = r["last_review_hashes"]
+            if hashes:
+                self._inc_hashes[int(r["seq"])] = tuple(hashes)
+        self._inc_state = {
+            tk: {"unlocked": 0, "done": False, "started": False,
+                 "hit": False, "n_reviews": 0}
+            for tk in self._inc_hashes
+        }
+        inc_keys = list(self._inc_hashes)
+        fpo_col = F.coalesce(F.col("first_page_only"), F.lit(0))
+        if inc_keys:
+            fpo_col = F.when(F.col("seq").cast("long").isin(inc_keys), F.lit(0)).otherwise(fpo_col)
         frontier = (
             seeds_df.filter(F.col("profile_key").isNotNull() & (F.col("profile_key") != ""))
             .select(
                 canonicalize_udf(F.col("profile_key")).alias("url"),
                 (F.col("seq").cast("long") * SEED_SEQ_STRIDE).alias("seq"),
-                F.coalesce(F.col("first_page_only"), F.lit(0)).alias("fpo"),
+                fpo_col.alias("fpo"),
             )
             .select(
                 "url",
@@ -156,6 +187,7 @@ class CrawlEngine:
                 F.lit(0).alias("attempt"),
                 F.lit("pending").alias("state"),
                 F.lit(0).cast("long").alias("wave_id"),
+                F.lit(None).cast("int").alias("probe_window"),
             )
             .dropDuplicates(["url"])
         )
@@ -164,7 +196,7 @@ class CrawlEngine:
             F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int").alias("bucket"),
             F.lit(0).cast("long").alias("wave_id"),
         )
-        self._commit(0, {"frontier": frontier, "seen": seen})
+        self._commit(0, {"frontier": frontier, "seen": seen, **self._inc_tables()})
 
     # --------------------------------------------------------------- superstep
 
@@ -178,24 +210,60 @@ class CrawlEngine:
             frontier = self.store.read_snapshot_table(
                 self.store.latest_wave(), "frontier"
             )
-        if cfg.use_bloom and self._blooms is None:
-            # (re)build from the current frontier — covers both fresh
-            # start and resume-from-snapshot
+        if cfg.use_bloom and self._bloom_df is None:
+            # resume path: reuse the committed bloom table; fresh start:
+            # build from the current frontier — both fully distributed
+            import os
+
             from go_scrapper_spark.operators import seenfilter as sfilter
 
-            seen0 = frontier.select(
-                "url_hash",
-                F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            latest = self.store.latest_wave()
+            snap_bloom = (
+                os.path.join(self.store._snap_dir(latest), "seen_bloom")
+                if latest is not None
+                else None
             )
-            self._blooms = sfilter.collect_blooms(
-                sfilter.build_blooms(
+            if snap_bloom and os.path.exists(snap_bloom):
+                bloom_df = self.store.read_snapshot_table(latest, "seen_bloom")
+            else:
+                seen0 = frontier.select(
+                    "url_hash",
+                    F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+                )
+                bloom_df = sfilter.build_blooms(
                     seen0, cfg.bloom_expected_per_bucket, cfg.bloom_fpp
                 )
-            )
+            self._bloom_df = bloom_df.localCheckpoint(eager=True)
 
         pending = frontier.filter(
             (F.col("state") == "pending") & (F.col("attempt") < cfg.max_attempts)
         )
+        if self._inc_hashes is None:
+            self._load_inc_state()
+        if self._inc_state:
+            # G3 probe-window admission (main.go:607-654): a pagination
+            # row of an incremental task is schedulable only while its
+            # window is unlocked and the task hasn't matched a seen
+            # hash. The state table is O(tasks) → broadcast join.
+            sdf = self.spark.createDataFrame(
+                [(tk, st["unlocked"], st["done"])
+                 for tk, st in self._inc_state.items()],
+                "task_key long, unlocked int, done boolean",
+            )
+            pending = (
+                pending.withColumn(
+                    "_tk", F.floor(F.col("seq") / SEED_SEQ_STRIDE).cast("long")
+                )
+                .join(F.broadcast(sdf), F.col("_tk") == sdf.task_key, "left")
+                .filter(
+                    F.col("probe_window").isNull()
+                    | (
+                        ~F.coalesce(F.col("done"), F.lit(False))
+                        & (F.col("probe_window") <= F.coalesce("unlocked", F.lit(0)))
+                    )
+                )
+                .drop("task_key", "unlocked", "done", "_tk")
+            )
 
         wave = select_wave(pending, self.budgets, cfg.default_k)
 
@@ -288,37 +356,36 @@ class CrawlEngine:
         pagetexts = union.filter(F.col("kind") == "pagetext").select(
             F.lit(wave_id).cast("long").alias("wave_id"), "url", "text"
         )
+        pagemeta = union.filter(F.col("kind") == "pagemeta").select(
+            F.lit(wave_id).cast("long").alias("wave_id"), "url",
+            "business_id", "review_count", "non_rec_count", "agg_score",
+        )
 
         new_rows = mat(self._new_frontier_rows(union, frontier, wave_id))
         if planned_ckpt:
             self._wave_mats.append(new_rows)
 
-        if cfg.use_bloom and self._blooms is not None:
-            # fold this wave's (politeness-bounded) delta into the bloom
-            # state. Driver-side numpy OR here; the distributive
-            # merge_bloom_delta path covers bucket counts too large to
-            # hold on the driver (tested in test_seenfilter.py).
-            import numpy as np
-
+        if cfg.use_bloom and self._bloom_df is not None:
+            # fold this wave's delta into the bloom table — fully
+            # distributed (groupBy bucket + per-bucket numpy OR inside
+            # merge_bloom_delta); no url_hash ever reaches the driver.
+            # The eager localCheckpoint truncates lineage so the bloom
+            # table doesn't accrete a per-wave plan chain.
             from go_scrapper_spark.operators import seenfilter as sfilter
 
-            delta = new_rows.select("url_hash").collect()
-            if delta:
-                arr = np.asarray([r["url_hash"] for r in delta], dtype=np.int64)
-                buckets = (arr % cfg.n_buckets + cfg.n_buckets) % cfg.n_buckets
-                default_shape = sfilter.bloom_params(
+            delta = new_rows.select(
+                "url_hash",
+                F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            )
+            merged = sfilter.merge_bloom_delta(
+                self._bloom_df,
+                delta,
+                shape=sfilter.bloom_params(
                     cfg.bloom_expected_per_bucket, cfg.bloom_fpp
-                )
-                for bk in np.unique(buckets):
-                    raw, m_bits, k = self._blooms.get(
-                        int(bk), (bytes(default_shape[0] // 8), *default_shape)
-                    )
-                    bits = np.frombuffer(raw, dtype=np.uint8).copy()
-                    sfilter._set_bits(
-                        bits,
-                        sfilter._probe_positions(arr[buckets == bk], m_bits, k),
-                    )
-                    self._blooms[int(bk)] = (bits.tobytes(), m_bits, k)
+                ),
+            ).localCheckpoint(eager=True)
+            self._bloom_df.unpersist()
+            self._bloom_df = merged
 
         # frontier merge (MERGE INTO on Iceberg; full-rewrite on parquet
         # store). With in-wave retries a dequeued URL always terminates:
@@ -339,6 +406,7 @@ class CrawlEngine:
                 F.when(F.col("_new_state").isNotNull(), F.lit(wave_id).cast("long"))
                 .otherwise(F.col("wave_id"))
                 .alias("wave_id"),
+                "probe_window",
             )
             .unionByName(new_rows)
         )
@@ -388,10 +456,16 @@ class CrawlEngine:
             "fetch_log": fetch_log,
             "extracted": reviews,
             "pagetext": pagetexts,
+            "pagemeta": pagemeta,
             "seen": seen_delta,
         }
         for name, df in deltas.items():
             self._pending_deltas.setdefault(name, []).append(df)
+
+        if self._inc_state:
+            # G3 window-boundary bookkeeping, BEFORE the commit so the
+            # snapshot carries the post-wave scheduler state
+            self._update_inc_state(union, frontier_next)
 
         is_checkpoint = (
             cfg.checkpoint_every <= 1
@@ -409,6 +483,10 @@ class CrawlEngine:
             tables["metrics"] = self.spark.createDataFrame(
                 self._pending_metrics, "wave_id long, metric string, value long"
             )
+            tables.update(self._inc_tables())
+            if cfg.use_bloom and self._bloom_df is not None:
+                # bloom table rides the snapshot → resume skips rebuild
+                tables["seen_bloom"] = self._bloom_df
             self._commit(wave_id, tables)
             self._drop_transients()
         else:
@@ -481,12 +559,14 @@ class CrawlEngine:
         )
         # cross-superstep dedup (exact J3): with use_bloom, the
         # per-bucket bloom pre-pass routes only bloom-positives into the
-        # exact anti-join — same result, scales past anti-join comfort
-        if cfg.use_bloom and self._blooms is not None:
-            from go_scrapper_spark.operators.seenfilter import filter_unseen
+        # exact anti-join — same result, scales past anti-join comfort.
+        # The bloom state is a TABLE cogrouped on bucket (no driver
+        # dict, no closure-captured bytes).
+        if cfg.use_bloom and self._bloom_df is not None:
+            from go_scrapper_spark.operators.seenfilter import filter_unseen_join
 
-            cand = filter_unseen(
-                cand, frontier.select("url_hash"), self._blooms, cfg.n_buckets
+            cand = filter_unseen_join(
+                cand, frontier.select("url_hash"), self._bloom_df, cfg.n_buckets
             )
         else:
             cand = cand.join(frontier.select("url"), "url", "left_anti")
@@ -499,7 +579,149 @@ class CrawlEngine:
             F.lit(0).alias("attempt"),
             F.lit("pending").alias("state"),
             F.lit(wave_id).cast("long").alias("wave_id"),
+            self._probe_window_col().alias("probe_window"),
         )
+
+    # ------------------------------------------------- incremental (G3)
+
+    def _probe_window_col(self):
+        """Probe-window tag for discovered URLs (main.go:563-654):
+        incremental tasks' pagination pages get floor(start/50); the
+        non-rec bootstrap page gets the -1 barrier sentinel (always
+        admissible, holds the window boundary closed until fetched —
+        the reference's wg.Wait covers it); everything else NULL.
+        All JVM-side expressions — no Python in the candidate path."""
+        inc_keys = list(self._inc_hashes or {})
+        if not inc_keys:
+            return F.lit(None).cast("int")
+        is_inc = F.floor(F.col("seq") / SEED_SEQ_STRIDE).cast("long").isin(inc_keys)
+        start_s = F.regexp_extract(
+            F.col("url"), r"[?&](?:not_recommended_)?start=(\d+)", 1
+        )
+        is_pag = F.col("url").contains("/review_feed?") | F.col("url").contains(
+            "not_recommended_start="
+        )
+        is_root = F.col("url").contains("/not_recommended_reviews/") & ~F.col(
+            "url"
+        ).contains("not_recommended_start=")
+        return (
+            F.when(
+                is_inc & is_pag & (start_s != ""),
+                F.floor(start_s.cast("long") / 50).cast("int"),
+            )
+            .when(is_inc & is_root, F.lit(-1))
+            .otherwise(F.lit(None).cast("int"))
+        )
+
+    def _inc_tables(self) -> dict:
+        """Snapshot tables carrying incremental scheduler state (empty
+        dict when the run has no incremental tasks)."""
+        if not self._inc_hashes:
+            return {}
+        from go_scrapper_spark.schemas import INC_HASHES_SCHEMA, INC_STATE_SCHEMA
+
+        hash_rows = [
+            (tk, h) for tk, hs in self._inc_hashes.items() for h in hs
+        ]
+        state_rows = [
+            (tk, st["unlocked"], st["done"], st["started"], st["hit"],
+             st["n_reviews"])
+            for tk, st in self._inc_state.items()
+        ]
+        return {
+            "inc_hashes": self.spark.createDataFrame(hash_rows, INC_HASHES_SCHEMA),
+            "inc_state": self.spark.createDataFrame(state_rows, INC_STATE_SCHEMA),
+        }
+
+    def _load_inc_state(self) -> None:
+        """Rebuild incremental state from the latest committed snapshot
+        (resume path). No-op into empty state when the run is not
+        incremental."""
+        import os
+
+        self._inc_hashes, self._inc_state = {}, {}
+        latest = self.store.latest_wave()
+        if latest is None:
+            return
+        snap = self.store._snap_dir(latest)
+        if not os.path.exists(os.path.join(snap, "inc_hashes")):
+            return
+        for r in self.store.read_snapshot_table(latest, "inc_hashes").collect():
+            self._inc_hashes.setdefault(int(r["task_key"]), [])
+            self._inc_hashes[int(r["task_key"])].append(r["review_hash"])
+        self._inc_hashes = {k: tuple(v) for k, v in self._inc_hashes.items()}
+        for r in self.store.read_snapshot_table(latest, "inc_state").collect():
+            self._inc_state[int(r["task_key"])] = {
+                "unlocked": int(r["unlocked"]), "done": bool(r["done"]),
+                "started": bool(r["started"]), "hit": bool(r["hit"]),
+                "n_reviews": int(r["n_reviews"]),
+            }
+
+    def _update_inc_state(self, union: DataFrame, frontier_next: DataFrame) -> None:
+        """Per-task window-boundary bookkeeping (main.go:615-641):
+        accumulate this wave's review counts and seen-hash hits, then —
+        once a task has no admissible pagination left pending (the
+        boundary, = the reference's wg.Wait between widenings) — stop
+        if a hash matched or no reviews were collected, else unlock the
+        next probe window. Two O(tasks)-row collects per wave, only in
+        incremental runs."""
+        str100 = SEED_SEQ_STRIDE * 100
+        hdf = self.spark.createDataFrame(
+            [(tk, h) for tk, hs in self._inc_hashes.items() for h in hs],
+            "task_key long, review_hash string",
+        ).withColumn("_hit", F.lit(1))
+        rev = union.filter(F.col("kind") == "review").select(
+            F.floor(F.col("arrival_idx") / str100).cast("long").alias("task_key"),
+            "review_hash",
+        )
+        for r in (
+            rev.join(F.broadcast(hdf), ["task_key", "review_hash"], "left")
+            .groupBy("task_key")
+            .agg(
+                F.count("*").alias("n"),
+                F.max(F.coalesce("_hit", F.lit(0))).alias("hit"),
+            )
+            .collect()
+        ):
+            st = self._inc_state.get(int(r["task_key"]))
+            if st is not None:
+                st["n_reviews"] += int(r["n"])
+                st["hit"] = st["hit"] or bool(r["hit"])
+        mp = {
+            int(r["task_key"]): int(r["mp"])
+            for r in (
+                frontier_next.filter(
+                    (F.col("state") == "pending")
+                    & (F.col("attempt") < self.cfg.max_attempts)
+                    & F.col("probe_window").isNotNull()
+                )
+                .groupBy(
+                    F.floor(F.col("seq") / SEED_SEQ_STRIDE)
+                    .cast("long")
+                    .alias("task_key")
+                )
+                .agg(F.min("probe_window").alias("mp"))
+                .collect()
+            )
+        }
+        for tk, st in self._inc_state.items():
+            if st["done"]:
+                continue
+            m = mp.get(tk)
+            if m is not None:
+                st["started"] = True
+            if not st["started"]:
+                continue  # profile not extracted yet — no schedule to gate
+            if m is not None and m <= st["unlocked"]:
+                continue  # window still in flight — not at the boundary
+            # boundary: all admitted pagination terminal (wg.Wait passed)
+            if st["n_reviews"] == 0 or st["hit"] or m is None:
+                # no reviews at all (main.go:616 len(reviews)==0), a
+                # seen hash matched (main.go:950-960), or pagination
+                # exhausted — stop scheduling this task's windows
+                st["done"] = True
+            else:
+                st["unlocked"] = m  # widen to the next 50-window
 
     def _finish_reviews(self, reviews: DataFrame, wave_id: int) -> DataFrame:
         """b64 field encoding (P12, main.go:1064-1077) — JVM-side
@@ -550,6 +772,34 @@ class CrawlEngine:
             F.col("arrival_idx").asc(),
             F.col("url").asc(),
         )
+
+    def final_extracted(self) -> DataFrame | None:
+        """ordered_extracted with the incremental cut applied: for
+        tasks carrying last_review_hashes, drop the first seen-hash row
+        and everything after it in output order (main.go:950-960)."""
+        df = self.store.read_appended("extracted")
+        if df is None:
+            return None
+        if self._inc_hashes is None:
+            self._load_inc_state()
+        if self._inc_hashes:
+            from go_scrapper_spark.operators.incremental import truncate_per_task
+
+            df = truncate_per_task(df, self._inc_hashes, SEED_SEQ_STRIDE)
+        return df.orderBy(
+            F.col("posted_at").desc(),
+            F.col("wave_id").asc(),
+            F.col("arrival_idx").asc(),
+            F.col("url").asc(),
+        )
+
+    def inc_hash_matched(self) -> bool:
+        """True iff any incremental task matched a seen hash during the
+        crawl (drives the NO_REVIEWS_SINCE_LAST_MATCH status,
+        main.go:953-956)."""
+        if self._inc_hashes is None:
+            self._load_inc_state()
+        return any(st["hit"] for st in self._inc_state.values())
 
     def _commit(self, wave_id: int, tables: dict) -> None:
         part = (

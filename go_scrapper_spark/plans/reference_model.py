@@ -18,6 +18,7 @@ must catch.
 
 from __future__ import annotations
 
+import re
 from urllib.parse import urlsplit
 
 from go_scrapper_spark.functions.extract import extract_page, extract_search_candidates
@@ -27,10 +28,25 @@ from go_scrapper_spark.sources import synthetic_web as sw
 
 SEED_SEQ_STRIDE = 10_000_000
 
+_RE_START = re.compile(r"[?&](?:not_recommended_)?start=(\d+)")
+
+
+def probe_window_of(url: str) -> int | None:
+    """G3 probe-window tag (mirror of CrawlEngine._probe_window_col):
+    pagination pages → floor(start/50); non-rec bootstrap → -1 barrier;
+    else None. Applied only to incremental tasks' outlinks."""
+    m = _RE_START.search(url)
+    if m and ("/review_feed?" in url or "not_recommended_start=" in url):
+        return int(m.group(1)) // 50
+    if "/not_recommended_reviews/" in url and "not_recommended_start=" not in url:
+        return -1
+    return None
+
 
 class ModelCrawl:
     def __init__(self, web_cfg: sw.WebConfig, max_attempts: int = 5,
-                 window_ms: int = 30_000, default_k: int = 10):
+                 window_ms: int = 30_000, default_k: int = 10,
+                 last_hashes: dict[int, list[str]] | None = None):
         self.web_cfg = web_cfg
         self.max_attempts = max_attempts
         self.pages: dict[str, bytes] = {}
@@ -45,6 +61,16 @@ class ModelCrawl:
         self.default_k = default_k
         self.frontier: dict[str, dict] = {}
         self.fetch_log: list[tuple] = []
+        # G3 incremental state, keyed by seed seq (= engine task_key)
+        self.last_hashes = {
+            k: set(v) for k, v in (last_hashes or {}).items() if v
+        }
+        self.inc_state = {
+            k: {"unlocked": 0, "done": False, "started": False,
+                "hit": False, "n_reviews": 0}
+            for k in self.last_hashes
+        }
+        self.reviews: list[dict] = []  # raw review union rows (for tests)
 
     def resolve_profile_key(self, s: dict) -> str:
         """Search → hovercard → deterministic match (mirrors
@@ -69,20 +95,26 @@ class ModelCrawl:
         return best["cand_url"]
 
     def seed(self):
-        for s in sw.seed_rows(self.web_cfg):
+        seeds = sw.seed_rows(
+            self.web_cfg, {k: sorted(v) for k, v in self.last_hashes.items()}
+        )
+        for s in seeds:
             key = s["profile_key"] or self.resolve_profile_key(s)
             if not key:
                 continue
             url = canonicalize_url(key)
+            inc = s["seq"] in self.last_hashes
             if url and url not in self.frontier:
                 self.frontier[url] = {
                     "url": url,
                     "host": (urlsplit(url).hostname or "").lower(),
                     "depth": 0,
                     "seq": s["seq"] * SEED_SEQ_STRIDE,
-                    "fpo": s.get("first_page_only") or 0,
+                    # incremental overrides FirstPageOnly (main.go:563-571)
+                    "fpo": 0 if inc else (s.get("first_page_only") or 0),
                     "attempt": 0,
                     "state": "pending",
+                    "pw": None,
                 }
 
     def _allowed(self, url: str, host: str) -> bool:
@@ -92,12 +124,24 @@ class ModelCrawl:
         path = urlsplit(url).path
         return not any(path.startswith(p) for p in r["disallow_prefixes"])
 
+    def _admitted(self, r: dict) -> bool:
+        """G3 probe-window admission (mirror of the engine's gated
+        pending filter)."""
+        pw = r.get("pw")
+        if pw is None:
+            return True
+        st = self.inc_state.get(r["seq"] // SEED_SEQ_STRIDE)
+        if st is None:
+            return True
+        return not st["done"] and pw <= st["unlocked"]
+
     def run(self, max_supersteps: int = 1000) -> dict:
         self.seed()
         for wave_id in range(1, max_supersteps + 1):
             pending = [
                 r for r in self.frontier.values()
                 if r["state"] == "pending" and r["attempt"] < self.max_attempts
+                and self._admitted(r)
             ]
             if not pending:
                 break
@@ -136,6 +180,14 @@ class ModelCrawl:
                 if succ:
                     r["state"] = "fetched"
                     for row in extract_page(url, body, r["depth"], r["seq"], r["fpo"]):
+                        if row["kind"] == "review":
+                            self.reviews.append(row)
+                            st = self.inc_state.get(r["seq"] // SEED_SEQ_STRIDE)
+                            if st is not None:
+                                st["n_reviews"] += 1
+                                tk = r["seq"] // SEED_SEQ_STRIDE
+                                if row["review_hash"] in self.last_hashes[tk]:
+                                    st["hit"] = True
                         if row["kind"] != "outlink":
                             continue
                         ourl = row["out_url"]
@@ -150,12 +202,49 @@ class ModelCrawl:
             for ourl, (depth, seq, fpo, host) in candidates.items():
                 if ourl in self.frontier:
                     continue
+                pw = (
+                    probe_window_of(ourl)
+                    if seq // SEED_SEQ_STRIDE in self.last_hashes
+                    else None
+                )
                 self.frontier[ourl] = {
                     "url": ourl, "host": host, "depth": depth, "seq": seq,
-                    "fpo": fpo, "attempt": 0, "state": "pending",
+                    "fpo": fpo, "attempt": 0, "state": "pending", "pw": pw,
                 }
+            self._inc_bookkeeping()
         return {
             "fetch_log": self.fetch_log,
             "frontier": self.frontier,
             "seen": set(self.frontier),
+            "reviews": self.reviews,
+            "inc_state": self.inc_state,
         }
+
+    def _inc_bookkeeping(self):
+        """Window-boundary bookkeeping (mirror of
+        CrawlEngine._update_inc_state; main.go:615-641). Review counts
+        and hits were accumulated during extraction."""
+        mp: dict[int, int] = {}
+        for r in self.frontier.values():
+            pw = r.get("pw")
+            if (
+                pw is not None
+                and r["state"] == "pending"
+                and r["attempt"] < self.max_attempts
+            ):
+                tk = r["seq"] // SEED_SEQ_STRIDE
+                mp[tk] = pw if tk not in mp else min(mp[tk], pw)
+        for tk, st in self.inc_state.items():
+            if st["done"]:
+                continue
+            m = mp.get(tk)
+            if m is not None:
+                st["started"] = True
+            if not st["started"]:
+                continue
+            if m is not None and m <= st["unlocked"]:
+                continue
+            if st["n_reviews"] == 0 or st["hit"] or m is None:
+                st["done"] = True
+            else:
+                st["unlocked"] = m

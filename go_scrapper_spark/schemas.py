@@ -71,6 +71,31 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("attempt", T.IntegerType(), False),
         T.StructField("state", T.StringType(), False),  # pending/fetched/failed/excluded
         T.StructField("wave_id", T.LongType(), False),
+        # G3 fetch-avoidance (main.go:563-654): pagination rows of
+        # incremental tasks carry their 50-wide probe window
+        # (floor(start/50)); the non-rec bootstrap page carries the
+        # sentinel -1 (always admissible, blocks the window boundary
+        # like the reference's wg.Wait barrier). NULL = ungated.
+        T.StructField("probe_window", T.IntegerType(), True),
+    ]
+)
+
+# per-task incremental-crawl scheduler state, committed with each snapshot
+INC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("task_key", T.LongType(), False),
+        T.StructField("unlocked", T.IntegerType(), False),
+        T.StructField("done", T.BooleanType(), False),
+        T.StructField("started", T.BooleanType(), False),
+        T.StructField("hit", T.BooleanType(), False),
+        T.StructField("n_reviews", T.LongType(), False),
+    ]
+)
+
+INC_HASHES_SCHEMA = T.StructType(
+    [
+        T.StructField("task_key", T.LongType(), False),
+        T.StructField("review_hash", T.StringType(), False),
     ]
 )
 
@@ -139,7 +164,7 @@ EXTRACT_UNION_SCHEMA = T.StructType(
         T.StructField("business_id", T.StringType(), True),
         T.StructField("review_count", T.IntegerType(), True),
         T.StructField("non_rec_count", T.IntegerType(), True),
-        T.StructField("agg_score", T.FloatType(), True),
+        T.StructField("agg_score", T.DoubleType(), True),
         # review fields (pre-b64; finishing pass applies hash+b64)
         T.StructField("parent_id", T.StringType(), True),
         T.StructField("review_id", T.StringType(), True),

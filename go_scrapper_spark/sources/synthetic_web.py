@@ -521,10 +521,11 @@ def robots_rows(cfg: WebConfig) -> list[dict]:
     ]
 
 
-def seed_rows(cfg: WebConfig) -> list[dict]:
+def seed_rows(cfg: WebConfig, last_hashes: dict[int, list[str]] | None = None) -> list[dict]:
     """One crawl task per business (Spider struct mirror). Tasks with an
     empty profile_key take the search→match resolution path
-    (main.go:263-267)."""
+    (main.go:263-267). ``last_hashes`` (biz → review hashes) marks
+    tasks as incremental (G3 probe-window mode)."""
     out = []
     for b in range(cfg.n_biz):
         addr = seed_address(cfg, b)
@@ -534,7 +535,7 @@ def seed_rows(cfg: WebConfig) -> list[dict]:
                 "profile_key": "" if needs_search(cfg, b) else profile_url(cfg, b),
                 "business_name": business_name(cfg, b),
                 **addr,
-                "last_review_hashes": [],
+                "last_review_hashes": list((last_hashes or {}).get(b, [])),
                 "first_page_only": 1 if b % 5 == 4 else 0,
                 "proxy": "",
                 "seq": b,
@@ -549,10 +550,10 @@ def robots_df(spark, cfg: WebConfig):
     return spark.createDataFrame(robots_rows(cfg), schema=ROBOTS_SCHEMA)
 
 
-def seeds_df(spark, cfg: WebConfig):
+def seeds_df(spark, cfg: WebConfig, last_hashes: dict[int, list[str]] | None = None):
     from go_scrapper_spark.schemas import SEEDS_SCHEMA
 
-    return spark.createDataFrame(seed_rows(cfg), schema=SEEDS_SCHEMA)
+    return spark.createDataFrame(seed_rows(cfg, last_hashes), schema=SEEDS_SCHEMA)
 
 
 # --- Spark-side generator ------------------------------------------------------

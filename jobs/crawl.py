@@ -87,18 +87,40 @@ def main() -> None:
     )
     total = engine.run(seeds)
 
-    extracted = engine.ordered_extracted()
+    # incremental cut (G3, main.go:950-960): tasks with
+    # last_review_hashes truncate at the first seen hash in output order
+    extracted = engine.final_extracted()
     n = 0
     if extracted is not None:
         write_jsonl(extracted, args.output)
         n = extracted.count()
-    status = "SUCCESS_SCRAPED" if n else "NO_REVIEWS"
+    # status priority mirrors main.go:309-315 + 953-956: reviews left
+    # after the cut → SUCCESS_SCRAPED; cut fired and nothing new →
+    # NO_REVIEWS_SINCE_LAST_MATCH; otherwise NO_REVIEWS
+    if n:
+        status = "SUCCESS_SCRAPED"
+    elif engine.inc_hash_matched():
+        status = "NO_REVIEWS_SINCE_LAST_MATCH"
+    else:
+        status = "NO_REVIEWS"
+    # histogram carry (main.go:317-319, 962-982): score = the profile
+    # ld+json aggregate rating; total = greatest(reviewCount, items)
+    hist_score, hist_total = 0.0, 0
+    pm = store.read_appended("pagemeta")
+    if pm is not None:
+        row = pm.agg(
+            F.max("agg_score").alias("s"), F.max("review_count").alias("t")
+        ).collect()[0]
+        hist_score = float(row["s"] or 0.0)
+        hist_total = int(row["t"] or 0)
     meta = meta_json(
         profile_key=";".join(r["profile_key"] for r in seeds.select("profile_key").collect()),
         scraping_status=status,
         item_scraped_count=n,
         request_count=total["attempted"],
         response_bytes=total["bytes"],
+        histogram_score=hist_score,
+        histogram_total=max(hist_total, n),
         start_time=start,
         finish_time=time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()),
     )

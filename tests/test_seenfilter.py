@@ -75,6 +75,32 @@ def test_filter_unseen_equals_plain_antijoin(spark, seen, blooms):
     assert len(got) == 3000
 
 
+def test_filter_unseen_join_equals_plain_antijoin(spark, seen):
+    """The TABLE-cogroup variant (filter_unseen_join — the engine's
+    use_bloom path, no driver dict) must also return exactly the plain
+    anti-join result."""
+    blooms_df = sf.build_blooms(seen, expected_per_bucket=300)
+    cands = spark.range(0, 4000).select(
+        F.when(
+            F.col("id") < 1000, F.concat(F.lit("seen-url-"), F.col("id"))
+        ).otherwise(F.concat(F.lit("new-url-"), F.col("id"))).alias("url")
+    )
+    got = sorted(
+        r["url"]
+        for r in sf.filter_unseen_join(cands, seen, blooms_df, N_BUCKETS).collect()
+    )
+    exp = sorted(
+        r["url"]
+        for r in cands.join(
+            seen.select(F.col("url_hash").alias("_sh")),
+            F.xxhash64(cands["url"]) == F.col("_sh"),
+            "left_anti",
+        ).collect()
+    )
+    assert got == exp
+    assert len(got) == 3000
+
+
 def test_merge_bloom_delta(spark, seen):
     """Blooms built incrementally (base + delta) behave like blooms
     built from the full set: still zero false negatives on the union."""
