@@ -176,9 +176,11 @@ def select(root: Node, selector: str) -> list[Node]:
 
 
 def child_text(root: Node, selector: str) -> str:
-    """colly e.ChildText: first match, whitespace-trimmed text ('' if none)."""
-    nodes = select(root, selector)
-    return nodes[0].text().strip() if nodes else ""
+    """colly e.ChildText = TrimSpace(goquery Find(sel).Text()):
+    goquery Selection.Text() concatenates the text of ALL matched
+    nodes, then colly trims — so a page with e.g. multiple ld+json
+    scripts yields their concatenation, not just the first."""
+    return "".join(n.text() for n in select(root, selector)).strip()
 
 
 def child_texts(root: Node, selector: str) -> list[str]:

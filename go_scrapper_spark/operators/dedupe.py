@@ -93,22 +93,39 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 6, n: int = 3, bands: int = 3,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """LSH candidate pairs: k/bands rows per band; docs sharing any full
     band become candidates; output the exact signature-match count
-    (0..k) as the similarity estimate numerator."""
+    (0..k) as the similarity estimate numerator.
+
+    Plan shape: signatures explode to one (band_id, band_key) row per
+    band and candidates come from ONE self-equi-join on that composite
+    key — one shuffle total, instead of ``bands`` separate self-joins
+    unioned (each with its own shuffle). Identical output."""
     sig = minhash_signatures(docs, k, n, id_col, text_col).persist()
     rows_per_band = k // bands
-    cands = None
-    for b in range(bands):
-        cols = [f"s{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        a = sig.alias("a")
-        c = sig.alias("c")
-        cond = (F.col("a.doc") < F.col("c.doc"))
-        for col in cols:
-            cond = cond & (F.col(f"a.{col}") == F.col(f"c.{col}"))
-        pair = a.join(c, cond).select(
-            F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("band_key"),
         )
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.distinct()
+        for b in range(bands)
+    ]
+    band_rows = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    a = band_rows.alias("a")
+    c = band_rows.alias("c")
+    cands = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc") < F.col("c.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("c.doc").alias("doc_b"))
+        .distinct()
+    )
     a = sig.alias("a")
     c = sig.alias("c")
     matches = sum(

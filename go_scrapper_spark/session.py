@@ -25,6 +25,10 @@ def get_spark(
     ``cores`` defaults to $SPARK_GRAFT_CPUS or 32. On a real cluster the
     master/executor settings come from spark-submit; everything set here
     is cluster-safe (nothing assumes local mode).
+
+    Master resolution: an explicit $SPARK_MASTER wins; under spark-submit
+    (detected via the py4j gateway env it injects) no .master() is set at
+    all, so the submitted --master is honored; otherwise local[cores].
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -34,9 +38,15 @@ def get_spark(
         # shuffle volume instead (target 128-256MB / partition).
         shuffle_partitions = max(2 * cores, 8)
 
+    builder = SparkSession.builder
+    env_master = os.environ.get("SPARK_MASTER")
+    if env_master:
+        builder = builder.master(env_master)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # not launched by spark-submit → standalone local run
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -3,9 +3,13 @@ Trigger.AvailableNow wrapper around the batch extraction stage).
 
 A continuously-landing pages directory (e.g. WARC conversions arriving
 from fetchers) is drained as a file-source stream; each micro-batch
-runs the same vectorized extraction used by the batch crawl and
-appends reviews to a parquet sink. Exactly-once comes from the
-streaming checkpoint (source offsets) + append-only parquet.
+runs the same vectorized extraction used by the batch crawl and writes
+reviews to a parquet sink. Exactly-once comes from the streaming
+checkpoint (source offsets) + an IDEMPOTENT per-batch write: output is
+partitioned by batch_id and each batch dynamically overwrites only its
+own partition, so a batch retried after a partial write replaces its
+partition instead of duplicating rows (foreachBatch alone is only
+at-least-once).
 
 This demonstrates the engine's data plane running under Structured
 Streaming unchanged — the frontier scheduler itself stays an iterative
@@ -47,7 +51,10 @@ def harvest_stream(
                 "rating", "source_date", "review_hash",
                 F.lit(batch_id).alias("batch_id"),
             )
-            .write.mode("append")
+            # idempotent retry: overwrite exactly this batch's partition
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_dir)
         )
 

@@ -71,3 +71,14 @@ def test_entities_kept_raw_in_dom():
     # text() keeps entities; one unescape = goquery-decoded text
     dom = parse_html("<p>A &amp;amp; B</p>")
     assert select(dom, "p")[0].text() == "A &amp;amp; B"
+
+
+def test_child_text_concatenates_all_matches():
+    # goquery Selection.Text() concatenates ALL matched nodes' text;
+    # colly ChildText trims the concatenation (reference main.go:549
+    # reads every ld+json script on the page through one ChildText)
+    dom = parse_html(
+        '<div><script type="x">{"a":1}</script>'
+        '<p>skip</p><script type="x">{"b":2}</script></div>'
+    )
+    assert child_text(dom, 'script[type="x"]') == '{"a":1}{"b":2}'
