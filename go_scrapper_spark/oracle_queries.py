@@ -707,6 +707,15 @@ FROM pages GROUP BY o_custkey
 """
 
 
+def q_sessionize_events(spark, sf):
+    """Sessionization (gaps-and-islands, 30-min inactivity gap) over
+    the events table — the batch twin of the applyInPandasWithState
+    streaming operator (streaming/sessionize.py)."""
+    from go_scrapper_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf, "events"), gap_minutes=30)
+
+
 # =============================================================================
 # Group C — engine-native entries (no SQL oracle: rows-only check; the
 # strong check is tests/test_crawl_equivalence.py)
@@ -768,7 +777,13 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
+    "sessionize_events": (q_sessionize_events, None),  # sql filled below
 }
+
+# late import to keep module-level SQL constants together
+from go_scrapper_spark.streaming.sessionize import sql_sessionize  # noqa: E402
+
+QUERIES["sessionize_events"] = (q_sessionize_events, sql_sessionize(30))
 
 NO_ORACLE = {
     "crawl_bulk_extract": q_crawl_bulk_extract,
