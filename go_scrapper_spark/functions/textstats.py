@@ -21,6 +21,20 @@ def token_count(text_col) -> F.Column:
     return F.size(F.split(text_col, r"\s+"))
 
 
+# GPT-2-style pretokenizer approximation: letter runs, digit runs, and
+# punctuation runs each become one token (shared verbatim with the
+# DuckDB oracle — identical regex engine semantics for this class)
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_token_count(text_col_name: str) -> F.Column:
+    """Token count under the BPE-ish pretokenizer regex (the unit an
+    LLM-data pipeline budgets by, vs whitespace words)."""
+    return F.expr(
+        f"size(regexp_extract_all({text_col_name}, '{BPE_ISH_PATTERN}', 0))"
+    )
+
+
 def func_word_count(text_col) -> F.Column:
     arr = F.split(text_col, " ")
     return F.size(F.filter(arr, lambda w: w.isin(*FUNC_WORDS)))
@@ -37,6 +51,7 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.length(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
+        bpe_ish_token_count(text_col).cast("long").alias("n_bpe_tokens"),
         n_stop.alias("n_func_words"),
         # mean token length in milli-chars: exact integer division
         F.floor(F.length(t) * 1000 / n_tok).cast("long").alias("milli_chars_per_token"),

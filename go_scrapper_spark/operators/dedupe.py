@@ -19,7 +19,7 @@ quadratic shingle join with band-bucket joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,11 +56,24 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, num: int = 1, den: int = 5,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Candidate near-dup pairs with Jaccard ≥ num/den over distinct
     word n-gram shingles. Threshold test is integer-exact:
-    inter/union ≥ num/den  ⟺  den·inter ≥ num·union."""
+    inter/union ≥ num/den  ⟺  den·inter ≥ num·union.
+
+    Scale: before the self-join, shingles are prefiltered by document
+    frequency — a shingle appearing in exactly one document cannot
+    contribute to any intersection, so dropping df=1 rows preserves
+    exactness while removing the bulk of a natural-text corpus (most
+    n-grams are unique) from the quadratic stage. Union sizes still
+    come from the unfiltered per-doc counts. Residual hot-shingle skew
+    (stopword n-grams) is split by AQE's skew-join handling; MinHash
+    LSH remains the sub-quadratic candidate path."""
     sh = _shingle_rows(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    dfw = Window.partitionBy("sh")
+    shared = sh.withColumn("_df", F.count("*").over(dfw)).filter(
+        F.col("_df") > 1
+    ).drop("_df")
+    a = shared.alias("a")
+    b = shared.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))

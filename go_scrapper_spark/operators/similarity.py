@@ -142,6 +142,76 @@ def lsh_projection_bucket(vec_col, n_planes: int = 4, dim: int = 64) -> F.Column
     return bucket.cast("int")
 
 
+def ivf_topk(emb: DataFrame, k: int = 3, n_queries: int = 5,
+             n_centroids: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: candidates are assigned to the cell of their
+    nearest centroid (argmax inner product, ties to the lower centroid
+    id); a query probes its ``nprobe`` best cells and searches only
+    those inverted lists. Centroids here are the first ``n_centroids``
+    candidate vectors — deterministic and oracle-reproducible; a real
+    deployment drops in k-means centroids without changing the plan.
+
+    Plan shape: assignment and probing are (rows × C) broadcast
+    crossJoins against the tiny centroid table plus one window each;
+    the search itself is an equi-join on cell id — the crossJoin over
+    the full corpus never happens. At 10⁹ vectors this is the standard
+    IVF layout: cells become the partition key of the candidate table.
+    All arithmetic is exact int64 (quantized milli-units)."""
+    v = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    cand = v.filter(F.col("id") >= n_queries)
+    # centroids = the n_centroids lowest-id candidates (TakeOrdered —
+    # no global sort); cid = rank within that tiny set
+    cent = (
+        cand.orderBy(F.col("id").asc())
+        .limit(n_centroids)
+        .withColumn(
+            "cid",
+            F.row_number().over(Window.orderBy(F.col("id").asc())) - 1,
+        )
+        .select("cid", F.col("v").alias("cv"))
+    )
+
+    w_assign = Window.partitionBy("id").orderBy(
+        F.col("_cdot").desc(), F.col("cid").asc()
+    )
+    cells = (
+        cand.crossJoin(F.broadcast(cent))
+        .withColumn("_cdot", dot_int(F.col("v"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", "cid")
+    )
+
+    q = v.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_cdot").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_cdot", dot_int(F.col("qv"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    scored = F.broadcast(probes).join(cells, "cid").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        dot_int(F.col("qv"), F.col("v")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def lsh_bucketed_neighbors(emb: DataFrame, k: int = 3, n_queries: int = 5,
                            n_planes: int = 4, dim: int = 64,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -612,6 +612,7 @@ SQL_TEXT_QUALITY = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_func_words,
        CAST(floor(length(text) * 1000 / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS milli_chars_per_token,
        CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 20
@@ -707,6 +708,41 @@ FROM pages GROUP BY o_custkey
 """
 
 
+def q_sim_ivf_topk(spark, sf):
+    return similarity.ivf_topk(
+        _t(spark, sf, "embeddings"), k=3, n_queries=5, n_centroids=8, nprobe=2
+    )
+
+
+def _sql_ivf_topk(k: int = 3, nq: int = 5, c: int = 8, nprobe: int = 2) -> str:
+    dot = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+cand AS (SELECT vec_id, qv FROM v WHERE vec_id >= {nq}),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+         FROM (SELECT * FROM cand ORDER BY vec_id LIMIT {c})),
+assign AS (
+  SELECT vec_id, qv, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY {dot.format(a='qv', b='cv')} DESC, cid) AS rn
+  FROM cand CROSS JOIN cent),
+cells AS (SELECT vec_id, qv AS candv, cid FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < {nq}),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, cent.cid, row_number() OVER (
+        PARTITION BY q.query_id ORDER BY {dot.format(a='q.qv', b='cent.cv')} DESC, cent.cid) AS rn
+    FROM q CROSS JOIN cent) WHERE rn <= {nprobe}),
+s AS (SELECT p.query_id, cells.vec_id AS neighbor_id,
+             CAST({dot.format(a='p.qv', b='cells.candv')} AS BIGINT) AS dot
+      FROM probes p JOIN cells ON cells.cid = p.cid)
+SELECT query_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY dot DESC, neighbor_id) AS rank FROM s)
+WHERE rank <= {k}
+"""
+
+
 def q_sessionize_events(spark, sf):
     """Sessionization (gaps-and-islands, 30-min inactivity gap) over
     the events table — the batch twin of the applyInPandasWithState
@@ -772,6 +808,7 @@ QUERIES = {
     "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
     "sim_topk_dot": (q_sim_topk_dot, SQL_SIM_TOPK),
     "sim_lsh_neighbors": (q_sim_lsh_neighbors, _sql_lsh_neighbors()),
+    "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),

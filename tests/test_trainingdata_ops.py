@@ -102,6 +102,31 @@ def test_lsh_bucket_neighbors_subset_of_bruteforce(emb):
     assert lsh_pairs <= brute_pairs
 
 
+def test_ivf_topk_searches_probed_cells_only(emb):
+    """IVF with nprobe == n_centroids degrades to exact brute force
+    (every cell probed); smaller nprobe returns a subset of it."""
+    full = similarity.ivf_topk(emb, k=3, n_queries=2, n_centroids=3, nprobe=3)
+    brute = similarity.topk_dot(emb, k=3, n_queries=2)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["dot"])  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, brute.collect()))
+    narrow = similarity.ivf_topk(emb, k=3, n_queries=2, n_centroids=3, nprobe=1)
+    narrow_pairs = {(r["query_id"], r["neighbor_id"]) for r in narrow.collect()}
+    brute_pairs = {(r["query_id"], r["neighbor_id"]) for r in
+                   similarity.topk_dot(emb, k=10, n_queries=2).collect()}
+    assert narrow_pairs <= brute_pairs
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! a1b2 --- x")], "doc_id long, text string"
+    )
+    row = textstats.text_quality(df).collect()[0]
+    # letter runs: Hello world a b x (5) + digit runs: 1 2 (2) +
+    # punctuation chars: , ! - - - (5) = 12
+    assert row["n_bpe_tokens"] == 12
+    assert row["n_tokens"] == 5  # whitespace words
+
+
 def test_text_quality_and_langid(docs):
     q = {r["doc_id"]: r for r in textstats.text_quality(docs).collect()}
     assert q[0]["n_tokens"] == 9
