@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("-o", "--output", required=True, help="output directory")
     ap.add_argument("--pages", default=None,
                     help="pages table path (parquet); default: synthetic web")
+    ap.add_argument("--robots", default=None,
+                    help="robots/politeness table path (parquet with the "
+                         "ROBOTS_SCHEMA columns); default with --pages: "
+                         "allow-all for every host in the pages table, with "
+                         "the reference's colly limits (3s delay, 10 parallel)")
     ap.add_argument("--store", default=None, help="snapshot/checkpoint dir")
     ap.add_argument("--n-biz", type=int, default=50,
                     help="synthetic web size when --pages is not given")
@@ -76,6 +81,27 @@ def main() -> None:
         pages = spark.read.parquet(args.pages)
     else:
         pages = sw.generate_pages_df(spark, cfg)
+    if args.robots:
+        robots = spark.read.parquet(args.robots)
+    elif args.pages:
+        # BYO pages table: the robots join is an allow-list (unknown
+        # hosts are dropped, politeness.py), so derive an allow-all
+        # policy covering every host actually present — matching the
+        # reference, which disables robots (collyfunc.go:68) and whose
+        # colly limits are Delay 3s / Parallelism 10
+        robots = (
+            pages.select(F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"))
+            .distinct()
+            .select(
+                "host",
+                F.array(F.lit("/")).alias("allow_prefixes"),
+                F.array().cast("array<string>").alias("disallow_prefixes"),
+                F.lit(3000).cast("long").alias("crawl_delay_ms"),
+                F.lit(10).alias("max_parallel"),
+            )
+        )
+    else:
+        robots = sw.robots_df(spark, cfg)
     seeds = spark.createDataFrame(
         parse_tasks(args.additional_args), schema=SEEDS_SCHEMA
     )
@@ -83,7 +109,7 @@ def main() -> None:
 
     store = SnapshotStore(spark, args.store or (args.output + "-store"))
     engine = CrawlEngine(
-        spark, pages, sw.robots_df(spark, cfg), store, CrawlConfig(checkpoint_every=4)
+        spark, pages, robots, store, CrawlConfig(checkpoint_every=4)
     )
     total = engine.run(seeds)
 
