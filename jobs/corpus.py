@@ -1,0 +1,89 @@
+"""Corpus-build pipeline (training-data tier, end-to-end composition).
+
+    spark-submit --py-files dist/go_scrapper_spark.zip jobs/corpus.py \
+        --docs /data/documents.parquet --out /corpus [--min-tokens 20]
+        [--near-dup-matches 6]
+
+Stages (each a native declarative plan; one JSON summary line printed):
+
+1. quality gate    — textstats.text_quality keep-band (C4/Gopher shape)
+2. exact dedup     — md5 content-hash group-by, canonical = min doc_id
+3. near-dup prune  — MinHash+LSH candidate pairs; of each pair with
+                     >= --near-dup-matches matching signature
+                     components, the higher doc_id is dropped
+                     (deterministic survivor rule)
+4. language split  — textstats.lang_id; output parquet partitioned by
+                     lang_guess (the layout a per-language training
+                     mix reads back with partition pruning)
+
+Scale notes: stages 1/4 are row-local (codegen), stage 2 one shuffle,
+stage 3 the LSH band join — nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
+    """Returns (result_df, stage_counts). Pure plan construction plus
+    the stage-count actions."""
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.functions import textstats
+    from go_scrapper_spark.operators import dedupe
+
+    counts = {"input": docs.count()}
+
+    quality = textstats.text_quality(docs, text_col="text").filter(
+        (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
+    )
+    kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    counts["after_quality"] = kept.count()
+
+    # exact dedup: canonical doc per content hash
+    canon = dedupe.exact_dedup_groups(kept).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = kept.join(canon, "doc_id", "left_semi")
+    counts["after_exact_dedup"] = kept.count()
+
+    # near-dup prune: drop the higher id of each strong candidate pair
+    pairs = dedupe.minhash_lsh_pairs(kept)
+    losers = (
+        pairs.filter(F.col("sig_matches") >= near_dup_matches)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(losers, "doc_id", "left_anti")
+    counts["after_near_dup"] = kept.count()
+
+    lang = textstats.lang_id(kept).select("doc_id", "lang_guess")
+    result = kept.join(lang, "doc_id")
+    return result, counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="corpus")
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--near-dup-matches", type=int, default=6)
+    args = ap.parse_args()
+
+    from go_scrapper_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-build")
+    docs = spark.read.parquet(args.docs)
+    result, counts = build_corpus(
+        spark, docs, args.min_tokens, args.near_dup_matches
+    )
+    result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)
+    counts["written"] = spark.read.parquet(args.out).count()
+    print(json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
