@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from go_scrapper_spark.functions import textstats
 from go_scrapper_spark.functions.urltools import canonicalize_udf
 from go_scrapper_spark.operators import dedupe, multimodal, similarity
+from go_scrapper_spark.streaming.sessionize import sql_sessionize
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -814,13 +815,8 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
-    "sessionize_events": (q_sessionize_events, None),  # sql filled below
+    "sessionize_events": (q_sessionize_events, sql_sessionize(30)),
 }
-
-# late import to keep module-level SQL constants together
-from go_scrapper_spark.streaming.sessionize import sql_sessionize  # noqa: E402
-
-QUERIES["sessionize_events"] = (q_sessionize_events, sql_sessionize(30))
 
 NO_ORACLE = {
     "crawl_bulk_extract": q_crawl_bulk_extract,
