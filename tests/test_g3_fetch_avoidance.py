@@ -197,6 +197,30 @@ def test_final_output_contract_vs_full_crawl(spark, runs):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_scale_mode_combined_equivalence(spark, runs):
+    """All scale features at once — partition_frontier (host_bucket
+    partitioned snapshot writes), use_bloom (bloom-table cogroup
+    seen-filter), checkpoint_every batching — under incremental seeds
+    must still reproduce the model's exact fetch log."""
+    _eng, _store, m_inc, _mf = runs
+    base = tempfile.mkdtemp(prefix="crawl-g3scale-")
+    try:
+        store = SnapshotStore(spark, base)
+        pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+        eng = CrawlEngine(
+            spark, pages, sw.robots_df(spark, CFG), store,
+            CrawlConfig(
+                fail_attempts_col=lambda: sw.fail_attempts_col(CFG),
+                use_bloom=True, bloom_expected_per_bucket=64,
+                partition_frontier=True, checkpoint_every=3,
+            ),
+        )
+        eng.run(_seeds(spark, LAST_HASHES))
+        assert _engine_log(store) == sorted(m_inc["fetch_log"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_cli_incremental_truncates_jsonl(tmp_path):
     """CLI smoke (S1/S2 + G3 wiring in jobs/crawl.py): a task with a
     seeded last_review_hash produces strictly fewer JSONL lines than
