@@ -134,7 +134,16 @@ def main():
             queries[name] = round(time.time() - t0, 3)
 
     scaling: dict = {}
-    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+    # the scaling section controls parallelism via get_spark(cores=...),
+    # which an explicit SPARK_MASTER or a spark-submit launch overrides —
+    # measuring "4 vs 16 cores" at identical parallelism would report
+    # fake efficiency, so skip and say so
+    master_pinned = bool(os.environ.get("SPARK_MASTER")) or (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+    )
+    if master_pinned and os.environ.get("BENCH_SKIP_SCALING") != "1":
+        scaling = {"scaling_skipped": "master pinned by SPARK_MASTER/spark-submit"}
+    elif os.environ.get("BENCH_SKIP_SCALING") != "1":
         # north-rule evidence: same job, two parallelism levels (N=4,
         # 4N=16), fresh session each, identical input and shuffle conf
         spark.stop()

@@ -21,9 +21,10 @@ def token_count(text_col) -> F.Column:
     return F.size(F.split(text_col, r"\s+"))
 
 
-# GPT-2-style pretokenizer approximation: letter runs, digit runs, and
-# punctuation runs each become one token (shared verbatim with the
-# DuckDB oracle — identical regex engine semantics for this class)
+# GPT-2-style pretokenizer approximation: letter runs and digit runs
+# each become one token; every punctuation CHARACTER is its own token.
+# The DuckDB oracle interpolates this same constant (SQL_TEXT_QUALITY),
+# so engine and oracle cannot drift.
 BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 

@@ -93,13 +93,18 @@ def merge_bloom_delta(
     blooms: DataFrame, delta: DataFrame, shape: tuple[int, int] | None = None
 ) -> DataFrame:
     """OR a delta of (url_hash, bucket) into the per-bucket blooms.
-    New buckets inherit the existing (m_bits, k) shape. Pass ``shape``
-    to skip the driver round-trip that infers it from the table (the
-    engine knows it from its config)."""
+
+    Existing buckets are ALWAYS probed with their own stored
+    (m_bits, k_hashes) — a caller-supplied ``shape`` applies only to
+    buckets created by this delta, so resuming with a different
+    bloom_expected_per_bucket/fpp config cannot mis-probe (or index
+    past) a snapshot's old-shape buffers. Pass ``shape`` to skip the
+    driver round-trip that infers the new-bucket shape from the
+    table."""
     if shape is None:
         row = blooms.select("m_bits", "k_hashes").first()
         shape = (int(row["m_bits"]), int(row["k_hashes"]))
-    m_bits, k = shape
+    new_m_bits, new_k = shape
 
     joined = delta.select("url_hash", "bucket").groupBy("bucket").agg(
         F.collect_list("url_hash").alias("hashes")
@@ -112,9 +117,11 @@ def merge_bloom_delta(
                 if row["bloom"] is not None:
                     bits = np.frombuffer(bytes(row["bloom"]), dtype=np.uint8).copy()
                     n = int(row["n_items"])
+                    m_bits, k = int(row["m_bits"]), int(row["k_hashes"])
                 else:
-                    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+                    bits = np.zeros(new_m_bits // 8, dtype=np.uint8)
                     n = 0
+                    m_bits, k = new_m_bits, new_k
                 hashes = row["hashes"]
                 if hashes is not None and len(hashes):
                     arr = np.asarray(hashes, dtype=np.int64)
@@ -202,14 +209,16 @@ def filter_unseen_join(
         .cogroup(blooms.groupBy(F.col("bucket").alias("_bkt")))
         .applyInPandas(check, schema=out_schema)
     )
-    fresh = tagged.filter(~F.col("_maybe"))
-    suspects = tagged.filter(F.col("_maybe"))
-    confirmed_new = suspects.join(
+    # one anti-join with the bloom verdict folded into the condition:
+    # a row is dropped iff it is a bloom-positive AND exactly seen.
+    # Referencing `tagged` once keeps a single cogroup subtree in the
+    # plan (a fresh/suspects union would execute the shuffle + probe
+    # kernel twice).
+    return tagged.join(
         seen.select(F.col("url_hash").alias("_sh")),
-        suspects["_h"] == F.col("_sh"),
+        F.col("_maybe") & (tagged["_h"] == F.col("_sh")),
         "left_anti",
-    )
-    return fresh.unionByName(confirmed_new).drop("_maybe", "_bkt", "_h")
+    ).drop("_maybe", "_bkt", "_h")
 
 
 def filter_unseen(

@@ -609,11 +609,11 @@ def q_text_quality(spark, sf):
     return textstats.text_quality(_t(spark, sf, "documents"))
 
 
-SQL_TEXT_QUALITY = """
+SQL_TEXT_QUALITY = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS BIGINT) AS n_func_words,
        CAST(floor(length(text) * 1000 / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS milli_chars_per_token,
        CASE WHEN len(regexp_split_to_array(text, '\\s+')) >= 20

@@ -762,36 +762,33 @@ class CrawlEngine:
     def ordered_extracted(self) -> DataFrame | None:
         """Final result ordering (W1): date-desc, with the reference's
         arrival-order tiebreak made explicit and deterministic
-        (wave, page seq, index-in-page; main.go:984-1007)."""
+        (wave, page seq, index-in-page; main.go:984-1007). The order
+        contract lives in operators/incremental.order_cols — the same
+        list the incremental cut uses, so they cannot desynchronize."""
+        from go_scrapper_spark.operators.incremental import order_cols
+
         df = self.store.read_appended("extracted")
         if df is None:
             return None
-        return df.orderBy(
-            F.col("posted_at").desc(),
-            F.col("wave_id").asc(),
-            F.col("arrival_idx").asc(),
-            F.col("url").asc(),
-        )
+        return df.orderBy(*order_cols())
 
     def final_extracted(self) -> DataFrame | None:
         """ordered_extracted with the incremental cut applied: for
         tasks carrying last_review_hashes, drop the first seen-hash row
         and everything after it in output order (main.go:950-960)."""
+        from go_scrapper_spark.operators.incremental import (
+            order_cols,
+            truncate_per_task,
+        )
+
         df = self.store.read_appended("extracted")
         if df is None:
             return None
         if self._inc_hashes is None:
             self._load_inc_state()
         if self._inc_hashes:
-            from go_scrapper_spark.operators.incremental import truncate_per_task
-
             df = truncate_per_task(df, self._inc_hashes, SEED_SEQ_STRIDE)
-        return df.orderBy(
-            F.col("posted_at").desc(),
-            F.col("wave_id").asc(),
-            F.col("arrival_idx").asc(),
-            F.col("url").asc(),
-        )
+        return df.orderBy(*order_cols())
 
     def inc_hash_matched(self) -> bool:
         """True iff any incremental task matched a seen hash during the

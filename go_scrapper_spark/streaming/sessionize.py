@@ -22,6 +22,13 @@ Two implementations with identical semantics:
 
 Scale notes: state is O(active users), partitioned by the groupBy key;
 the batch variant's single window shuffle is the same partitioning.
+
+Out-of-order caveat (standard for aggregate-only session state): a
+late event arriving in a later micro-batch extends the open session's
+[start, end] bounds (never shrinks them), but it cannot re-merge two
+sessions that an earlier batch already split — events later than the
+watermark delay should be dropped upstream or handled by a batch
+backfill with ``sessionize_batch``.
 """
 
 from __future__ import annotations
@@ -117,10 +124,15 @@ def _sessionize_fn(gap_ms: int):
                          "n_events", "sum_value_cents"],
             )
             return
+        import numpy as np
+
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         ts_ms = (rows["ts"].astype("int64") // 1_000_000).to_numpy()
-        cents = rows["value"].mul(100).round().astype("int64").to_numpy()
+        # HALF_UP away from zero, matching Spark F.round / DuckDB round
+        # (pandas .round() is banker's half-to-even — 12.5 would give 12)
+        v = rows["value"].to_numpy() * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
         # seed with the carried-over open session, if any
         if state.exists:
             start_ms, end_ms, n, total = state.get
@@ -134,7 +146,11 @@ def _sessionize_fn(gap_ms: int):
                 out.append((user_id, start_ms, end_ms, n, total))
                 start_ms, end_ms, n, total = t, t, 1, c
             else:
-                end_ms, n, total = t, n + 1, total + c
+                # a cross-batch out-of-order event (above the watermark)
+                # may predate the open session's end — extend, never
+                # shrink, the session bounds
+                start_ms = min(start_ms, t)
+                end_ms, n, total = max(end_ms, t), n + 1, total + c
         # keep the trailing open session; flush it when the watermark
         # passes last_event + gap
         state.update((start_ms, end_ms, n, total))

@@ -34,33 +34,40 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
     from go_scrapper_spark.functions import textstats
     from go_scrapper_spark.operators import dedupe
 
+    docs = docs.persist()
     counts = {"input": docs.count()}
 
     quality = textstats.text_quality(docs, text_col="text").filter(
         (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
     )
-    kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi")
+    # persist each surviving set: the stage counts AND the final write
+    # would otherwise re-execute the whole upstream chain (including the
+    # LSH candidate join) once per downstream action
+    kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi").persist()
     counts["after_quality"] = kept.count()
+    docs.unpersist()
 
     # exact dedup: canonical doc per content hash
     canon = dedupe.exact_dedup_groups(kept).select(
         F.col("canonical_id").alias("doc_id")
     )
-    kept = kept.join(canon, "doc_id", "left_semi")
-    counts["after_exact_dedup"] = kept.count()
+    deduped = kept.join(canon, "doc_id", "left_semi").persist()
+    counts["after_exact_dedup"] = deduped.count()
+    kept.unpersist()
 
     # near-dup prune: drop the higher id of each strong candidate pair
-    pairs = dedupe.minhash_lsh_pairs(kept)
+    pairs = dedupe.minhash_lsh_pairs(deduped)
     losers = (
         pairs.filter(F.col("sig_matches") >= near_dup_matches)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept = kept.join(losers, "doc_id", "left_anti")
-    counts["after_near_dup"] = kept.count()
+    survivors = deduped.join(losers, "doc_id", "left_anti").persist()
+    counts["after_near_dup"] = survivors.count()
+    deduped.unpersist()
 
-    lang = textstats.lang_id(kept).select("doc_id", "lang_guess")
-    result = kept.join(lang, "doc_id")
+    lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
+    result = survivors.join(lang, "doc_id")
     return result, counts
 
 

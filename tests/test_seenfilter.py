@@ -101,6 +101,32 @@ def test_filter_unseen_join_equals_plain_antijoin(spark, seen):
     assert len(got) == 3000
 
 
+def test_merge_bloom_delta_mixed_shapes(spark, seen):
+    """Resume-with-different-config safety: merging a delta with a
+    DIFFERENT bloom shape must probe existing buckets with their own
+    stored (m_bits, k) — no out-of-bounds, no false negatives — while
+    new buckets take the new shape."""
+    base = seen.filter(F.pmod("url_hash", F.lit(2)) == 0)
+    delta = seen.filter(F.pmod("url_hash", F.lit(2)) != 0)
+    blooms = sf.build_blooms(base, expected_per_bucket=300)  # old shape
+    new_shape = sf.bloom_params(5000, 0.001)  # much larger new shape
+    merged_df = sf.merge_bloom_delta(blooms, delta, shape=new_shape)
+    rows = {int(r["bucket"]): (int(r["m_bits"]), int(r["k_hashes"]))
+            for r in merged_df.collect()}
+    base_buckets = {int(r["bucket"]) for r in
+                    sf.build_blooms(base, expected_per_bucket=300).collect()}
+    old_shape = sf.bloom_params(300)
+    for bk, shape in rows.items():
+        # pre-existing buckets keep their stored shape; delta-only
+        # buckets take the caller's new shape
+        assert shape == (old_shape if bk in base_buckets else new_shape), (bk, shape)
+    merged = sf.collect_blooms(merged_df)
+    checked = seen.withColumn(
+        "hit", sf.might_contain_udf(merged)(F.col("url_hash"), F.col("bucket"))
+    )
+    assert checked.filter(~F.col("hit")).count() == 0
+
+
 def test_merge_bloom_delta(spark, seen):
     """Blooms built incrementally (base + delta) behave like blooms
     built from the full set: still zero false negatives on the union."""
