@@ -57,3 +57,84 @@ def image_meta(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         _decode_batches, schema=IMAGE_META_DDL
     )
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_FEATURES_DDL = (
+    "doc_id long, n_units long, fake_sample_rate int, window_energy array<bigint>"
+)
+
+
+def audio_features(docs_with_payload: DataFrame, window: int = 32,
+                   n_windows: int = 4) -> DataFrame:
+    """Audio feature-extract stage shape: decode (stubbed as utf-8) →
+    fixed-size feature vector per clip. The fake "band energies" are
+    md5-derived exact integers over fixed character windows, so the
+    DuckDB oracle reproduces them bit-for-bit; a real deployment swaps
+    the window energies for FFT band sums without touching the plan
+    (same mapInPandas signature, same array<bigint> schema)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "n_units": [], "fake_sample_rate": [],
+               "window_energy": []}
+        for pdf in it:
+            if pdf.empty:
+                continue
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8")
+                n = len(s)
+                energies = []
+                for w in range(n_windows):
+                    chunk = s[w * window:(w + 1) * window]
+                    h = hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    energies.append(int(h[:12], 16))
+                out["doc_id"].append(doc_id)
+                out["n_units"].append(n)
+                out["fake_sample_rate"].append(8000 + (n % 8) * 1000)
+                out["window_energy"].append(energies)
+        if out["doc_id"]:  # an all-empty partition yields nothing
+            # (empty typed-list columns trip Arrow's NumPyConverter)
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURES_DDL
+    )
+
+
+# ---------------------------------------------------------------- video
+
+VIDEO_FRAMES_DDL = "doc_id long, frame_idx long, frame_sig string"
+
+
+def video_frame_sample(docs_with_payload: DataFrame, frame_chars: int = 10,
+                       stride: int = 7) -> DataFrame:
+    """Frame-sampling stage shape: decode (stubbed) → explode each clip
+    to one row per SAMPLED frame (every ``stride``-th of the clip's
+    fake frames; frame = a ``frame_chars`` slice, signature = its md5).
+    The Arrow batch shape is the real one — input rows fan out to
+    variable row counts inside mapInPandas — and the sampling math is
+    exact for the oracle. A real deployment replaces slice-md5 with a
+    keyframe decoder; partitioning and schema stay."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "frame_idx": [], "frame_sig": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8")
+                n_frames = len(s) // frame_chars
+                for i in range(0, n_frames, stride):
+                    chunk = s[i * frame_chars:(i + 1) * frame_chars]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_sig"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sig"])
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAMES_DDL
+    )

@@ -709,6 +709,33 @@ FROM pages GROUP BY o_custkey
 """
 
 
+def q_mm_audio_features(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return multimodal.audio_features(multimodal.attach_payload(docs))
+
+
+SQL_MM_AUDIO = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_units,
+       CAST(8000 + (length(text) % 8) * 1000 AS INT) AS fake_sample_rate,
+       list_transform(range(0, 4),
+         w -> CAST(concat('0x', substr(md5(substr(text, w*32 + 1, 32)), 1, 12)) AS BIGINT)) AS window_energy
+FROM documents
+"""
+
+
+def q_mm_video_frames(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return multimodal.video_frame_sample(multimodal.attach_payload(docs))
+
+
+SQL_MM_VIDEO = """
+SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(u.i*10 + 1 AS INT), 10)) AS frame_sig
+FROM documents CROSS JOIN unnest(range(0, length(text)//10, 7)) AS u(i)
+"""
+
+
 def q_sim_ivf_topk(spark, sf):
     return similarity.ivf_topk(
         _t(spark, sf, "embeddings"), k=3, n_queries=5, n_centroids=8, nprobe=2
@@ -815,6 +842,8 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
+    "mm_audio_features": (q_mm_audio_features, SQL_MM_AUDIO),
+    "mm_video_frames": (q_mm_video_frames, SQL_MM_VIDEO),
     "sessionize_events": (q_sessionize_events, sql_sessionize(30)),
 }
 

@@ -154,6 +154,23 @@ def test_multimodal_stub_plumbing(docs):
     assert meta[0]["mode"] == "stub"
 
 
+def test_multimodal_audio_video_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "short"), (3, "")],  # 10 frames / 0 / 0
+        "doc_id long, text string",
+    )
+    paid = multimodal.attach_payload(df)
+    feats = {r["doc_id"]: r for r in multimodal.audio_features(paid).collect()}
+    assert feats[1]["n_units"] == 100 and len(feats[1]["window_energy"]) == 4
+    assert feats[3]["n_units"] == 0  # empty clip still yields a row
+    frames = multimodal.video_frame_sample(paid, frame_chars=10, stride=7).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(by_doc[1]) == [0, 7]  # 10 frames sampled at stride 7
+    assert 2 not in by_doc and 3 not in by_doc  # too short → no frames
+
+
 def test_multimodal_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")
