@@ -77,13 +77,13 @@ def audio_features(docs_with_payload: DataFrame, window: int = 32,
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out = {"doc_id": [], "n_units": [], "fake_sample_rate": [],
-               "window_energy": []}
         for pdf in it:
-            if pdf.empty:
-                continue
+            out = {"doc_id": [], "n_units": [], "fake_sample_rate": [],
+                   "window_energy": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = bytes(payload).decode("utf-8")
+                # NULL payloads normalize to the empty clip (the oracle
+                # SQL coalesces to '' the same way)
+                s = bytes(payload).decode("utf-8") if payload is not None else ""
                 n = len(s)
                 energies = []
                 for w in range(n_windows):
@@ -94,9 +94,9 @@ def audio_features(docs_with_payload: DataFrame, window: int = 32,
                 out["n_units"].append(n)
                 out["fake_sample_rate"].append(8000 + (n % 8) * 1000)
                 out["window_energy"].append(energies)
-        if out["doc_id"]:  # an all-empty partition yields nothing
-            # (empty typed-list columns trip Arrow's NumPyConverter)
-            yield pd.DataFrame(out)
+            if out["doc_id"]:  # empty batches yield nothing (empty
+                # typed-list columns trip Arrow's NumPyConverter)
+                yield pd.DataFrame(out)
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         batches, schema=AUDIO_FEATURES_DDL
@@ -123,7 +123,7 @@ def video_frame_sample(docs_with_payload: DataFrame, frame_chars: int = 10,
         for pdf in it:
             rows = {"doc_id": [], "frame_idx": [], "frame_sig": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = bytes(payload).decode("utf-8")
+                s = bytes(payload).decode("utf-8") if payload is not None else ""
                 n_frames = len(s) // frame_chars
                 for i in range(0, n_frames, stride):
                     chunk = s[i * frame_chars:(i + 1) * frame_chars]

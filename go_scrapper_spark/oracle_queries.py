@@ -716,10 +716,10 @@ def q_mm_audio_features(spark, sf):
 
 SQL_MM_AUDIO = """
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_units,
-       CAST(8000 + (length(text) % 8) * 1000 AS INT) AS fake_sample_rate,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_units,
+       CAST(8000 + (length(coalesce(text, '')) % 8) * 1000 AS INT) AS fake_sample_rate,
        list_transform(range(0, 4),
-         w -> CAST(concat('0x', substr(md5(substr(text, w*32 + 1, 32)), 1, 12)) AS BIGINT)) AS window_energy
+         w -> CAST(concat('0x', substr(md5(substr(coalesce(text, ''), w*32 + 1, 32)), 1, 12)) AS BIGINT)) AS window_energy
 FROM documents
 """
 
@@ -731,8 +731,9 @@ def q_mm_video_frames(spark, sf):
 
 SQL_MM_VIDEO = """
 SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
-       md5(substr(text, CAST(u.i*10 + 1 AS INT), 10)) AS frame_sig
-FROM documents CROSS JOIN unnest(range(0, length(text)//10, 7)) AS u(i)
+       md5(substr(coalesce(text, ''), CAST(u.i*10 + 1 AS INT), 10)) AS frame_sig
+FROM documents
+CROSS JOIN unnest(range(0, length(coalesce(text, ''))//10, 7)) AS u(i)
 """
 
 
