@@ -25,8 +25,14 @@ from pyspark.sql import functions as F
 
 
 def quantize(col) -> F.Column:
-    """float array → exact integer milli-units."""
-    return F.transform(col, lambda x: F.round(x * 1000).cast("long"))
+    """float array → exact integer milli-units. The float32 element is
+    promoted to double BEFORE the multiply on both engines — a float32
+    product can land exactly on a .5 boundary that the double product
+    doesn't (observed: 0.3195f*1000 = 319.5f but 319.49999... as
+    double), flipping the rounded milli-unit and a threshold pair."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
 
 
 def dot_int(a, b) -> F.Column:

@@ -541,7 +541,7 @@ def q_sim_topk_dot(spark, sf):
 
 
 SQL_SIM_TOPK = """
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -568,7 +568,7 @@ def _sql_lsh_neighbors(n_planes: int = 4) -> str:
     )
     bsum = " + ".join(f"p{p}" for p in range(n_planes))
     return f"""
-WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
             FROM embeddings),
 v AS (SELECT vec_id, qv, {bsum} AS bucket FROM (SELECT vec_id, qv, {projs} FROM v0)),
 s AS (
@@ -592,7 +592,7 @@ def q_emb_near_dup(spark, sf):
 
 
 SQL_EMB_NEAR_DUP = """
-WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
            FROM embeddings),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b,
@@ -746,7 +746,7 @@ def q_sim_ivf_topk(spark, sf):
 def _sql_ivf_topk(k: int = 3, nq: int = 5, c: int = 8, nprobe: int = 2) -> str:
     dot = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
     return f"""
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS qv
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
 cand AS (SELECT vec_id, qv FROM v WHERE vec_id >= {nq}),
 cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
