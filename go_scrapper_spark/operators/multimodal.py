@@ -62,40 +62,42 @@ def image_meta(docs_with_payload: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- audio
 
 AUDIO_FEATURES_DDL = (
-    "doc_id long, n_units long, fake_sample_rate int, window_energy array<bigint>"
+    "doc_id long, n_units long, fake_sample_rate int, window_idx long, energy long"
 )
 
 
 def audio_features(docs_with_payload: DataFrame, window: int = 32,
                    n_windows: int = 4) -> DataFrame:
     """Audio feature-extract stage shape: decode (stubbed as utf-8) →
-    fixed-size feature vector per clip. The fake "band energies" are
-    md5-derived exact integers over fixed character windows, so the
-    DuckDB oracle reproduces them bit-for-bit; a real deployment swaps
-    the window energies for FFT band sums without touching the plan
-    (same mapInPandas signature, same array<bigint> schema)."""
+    per-window band energy, ONE ROW PER WINDOW (a clip fans out to
+    ``n_windows`` scalar rows — the exploded shape video_frame_sample
+    uses; array-typed output columns are banned from oracle-gated
+    queries because order-insensitive value hashing needs scalar,
+    hashable cells). The fake "band energies" are md5-derived exact
+    integers over fixed character windows, so the DuckDB oracle
+    reproduces them bit-for-bit; a real deployment swaps the window
+    energies for FFT band sums without touching the plan (same
+    mapInPandas signature and schema)."""
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"doc_id": [], "n_units": [], "fake_sample_rate": [],
-                   "window_energy": []}
+                   "window_idx": [], "energy": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 # NULL payloads normalize to the empty clip (the oracle
                 # SQL coalesces to '' the same way)
                 s = bytes(payload).decode("utf-8") if payload is not None else ""
                 n = len(s)
-                energies = []
                 for w in range(n_windows):
                     chunk = s[w * window:(w + 1) * window]
                     h = hashlib.md5(chunk.encode("utf-8")).hexdigest()
-                    energies.append(int(h[:12], 16))
-                out["doc_id"].append(doc_id)
-                out["n_units"].append(n)
-                out["fake_sample_rate"].append(8000 + (n % 8) * 1000)
-                out["window_energy"].append(energies)
-            if out["doc_id"]:  # empty batches yield nothing (empty
-                # typed-list columns trip Arrow's NumPyConverter)
+                    out["doc_id"].append(doc_id)
+                    out["n_units"].append(n)
+                    out["fake_sample_rate"].append(8000 + (n % 8) * 1000)
+                    out["window_idx"].append(w)
+                    out["energy"].append(int(h[:12], 16))
+            if out["doc_id"]:
                 yield pd.DataFrame(out)
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(

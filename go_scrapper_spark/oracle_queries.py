@@ -718,9 +718,10 @@ SQL_MM_AUDIO = """
 SELECT doc_id,
        CAST(length(coalesce(text, '')) AS BIGINT) AS n_units,
        CAST(8000 + (length(coalesce(text, '')) % 8) * 1000 AS INT) AS fake_sample_rate,
-       list_transform(range(0, 4),
-         w -> CAST(concat('0x', substr(md5(substr(coalesce(text, ''), w*32 + 1, 32)), 1, 12)) AS BIGINT)) AS window_energy
+       CAST(u.w AS BIGINT) AS window_idx,
+       CAST(concat('0x', substr(md5(substr(coalesce(text, ''), CAST(u.w*32 + 1 AS INT), 32)), 1, 12)) AS BIGINT) AS energy
 FROM documents
+CROSS JOIN unnest(range(0, 4)) AS u(w)
 """
 
 

@@ -160,9 +160,16 @@ def test_multimodal_audio_video_plumbing(spark):
         "doc_id long, text string",
     )
     paid = multimodal.attach_payload(df)
-    feats = {r["doc_id"]: r for r in multimodal.audio_features(paid).collect()}
-    assert feats[1]["n_units"] == 100 and len(feats[1]["window_energy"]) == 4
-    assert feats[3]["n_units"] == 0  # empty clip still yields a row
+    feats = {}
+    for r in multimodal.audio_features(paid).collect():
+        feats.setdefault(r["doc_id"], []).append(r)
+    # exploded shape: one scalar row per window (array-typed output
+    # columns are banned from oracle-gated queries)
+    assert len(feats[1]) == 4 and feats[1][0]["n_units"] == 100
+    assert sorted(r["window_idx"] for r in feats[1]) == [0, 1, 2, 3]
+    assert all(isinstance(r["energy"], int) for r in feats[1])
+    assert feats[3][0]["n_units"] == 0  # empty clip still yields rows
+    assert len(feats[3]) == 4
     frames = multimodal.video_frame_sample(paid, frame_chars=10, stride=7).collect()
     by_doc = {}
     for r in frames:

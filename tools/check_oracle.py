@@ -50,7 +50,29 @@ def norm_cell(v):
     return ("str", str(v))
 
 
+def assert_scalar_schema(spark_df):
+    """The driver's oracle harness canonicalizes result frames with
+    pandas ``sort_values`` over ALL columns, which factorizes cells —
+    any array/map/struct-typed output column crashes it with
+    "unhashable type: 'list'" (round-2's mm_audio_features red). Ban
+    complex types here so local green predicts driver green: explode
+    arrays to one scalar row per element instead."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"complex-typed output columns {bad} would crash the driver's "
+            "hash harness (pandas sort_values factorize); explode to scalar rows"
+        )
+
+
 def compare(name, spark_df, duck_pdf):
+    assert_scalar_schema(spark_df)
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_pdf.columns)
     if s_cols != d_cols:
