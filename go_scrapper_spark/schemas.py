@@ -38,6 +38,16 @@ SEEDS_SCHEMA = T.StructType(
         T.StructField("last_review_hashes", T.ArrayType(T.StringType()), True),
         T.StructField("first_page_only", T.IntegerType(), True),
         T.StructField("proxy", T.StringType(), True),
+        # declared-but-unused Spider fields (reference main.go:36-43 —
+        # decoded there, referenced nowhere else): carried verbatim for
+        # task-schema pass-through fidelity
+        T.StructField("business_id", T.IntegerType(), True),
+        T.StructField("client_id", T.IntegerType(), True),
+        T.StructField("batch_id", T.IntegerType(), True),
+        # persona.additional_cookies is interface{} in Go — carried as
+        # its JSON serialization; persona.other_proxies is []string
+        T.StructField("additional_cookies", T.StringType(), True),
+        T.StructField("other_proxies", T.ArrayType(T.StringType()), True),
         T.StructField("seq", T.IntegerType(), False),
     ]
 )

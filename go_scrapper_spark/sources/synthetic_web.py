@@ -538,6 +538,11 @@ def seed_rows(cfg: WebConfig, last_hashes: dict[int, list[str]] | None = None) -
                 "last_review_hashes": list((last_hashes or {}).get(b, [])),
                 "first_page_only": 1 if b % 5 == 4 else 0,
                 "proxy": "",
+                "business_id": b,
+                "client_id": 1,
+                "batch_id": 1,
+                "additional_cookies": None,
+                "other_proxies": [],
                 "seq": b,
             }
         )

@@ -28,6 +28,8 @@ def parse_tasks(b64: str) -> list[dict]:
     rows = []
     for i, t in enumerate(data):
         addr = t.get("address") or {}
+        persona = t.get("persona") or {}
+        cookies = persona.get("additional_cookies")
         rows.append(
             {
                 "task_id": int(t.get("task_id", i)),
@@ -39,18 +41,34 @@ def parse_tasks(b64: str) -> list[dict]:
                 "zip": addr.get("zip", ""),
                 "last_review_hashes": t.get("last_review_hashes") or [],
                 "first_page_only": int(t.get("first_page_only", 0)),
-                "proxy": (t.get("persona") or {}).get("proxy", ""),
+                "proxy": persona.get("proxy", ""),
+                # declared-but-unused Spider fields (main.go:36-43),
+                # carried for pass-through fidelity; additional_cookies
+                # is interface{} in Go → keep its JSON form
+                "business_id": int(t["business_id"]) if "business_id" in t else None,
+                "client_id": int(t["client_id"]) if "client_id" in t else None,
+                "batch_id": int(t["batch_id"]) if "batch_id" in t else None,
+                "additional_cookies": (
+                    None if cookies is None else json.dumps(cookies, separators=(",", ":"))
+                ),
+                "other_proxies": persona.get("other_proxies"),
                 "seq": i,
             }
         )
     return rows
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="crawl")
     ap.add_argument("-a", "--additional-args", required=True,
                     help="base64 JSON task (or task list)")
     ap.add_argument("-o", "--output", required=True, help="output directory")
+    # part of the reference CLI contract (main.go:196): accepted there,
+    # its value is dead (sval unused in yelpSpiderRun, main.go:255) —
+    # accepted-and-unused here too
+    ap.add_argument("-s", "--setvar", default="",
+                    help="NAME=VALUE setting variable (accepted for CLI "
+                         "compatibility; unused, as in the reference)")
     ap.add_argument("--pages", default=None,
                     help="pages table path (parquet); default: synthetic web")
     ap.add_argument("--robots", default=None,
@@ -61,7 +79,11 @@ def main() -> None:
     ap.add_argument("--store", default=None, help="snapshot/checkpoint dir")
     ap.add_argument("--n-biz", type=int, default=50,
                     help="synthetic web size when --pages is not given")
-    args = ap.parse_args()
+    return ap
+
+
+def main() -> None:
+    args = build_parser().parse_args()
 
     from pyspark.sql import functions as F
 
@@ -118,8 +140,13 @@ def main() -> None:
     extracted = engine.final_extracted()
     n = 0
     if extracted is not None:
+        # persist before the write+count double action: the final plan
+        # (orderBy + incremental truncation window over the extracted
+        # union) computes once, not once per action
+        extracted = extracted.persist()
         write_jsonl(extracted, args.output)
         n = extracted.count()
+        extracted.unpersist()
     # status priority mirrors main.go:309-315 + 953-956: reviews left
     # after the cut → SUCCESS_SCRAPED; cut fired and nothing new →
     # NO_REVIEWS_SINCE_LAST_MATCH; otherwise NO_REVIEWS
