@@ -129,6 +129,8 @@ def main():
 
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         for name, (fn, _sql) in oq.QUERIES.items():
+            if name == "crawl_bulk_extract":
+                continue  # already measured as the headline extract stage
             t0 = time.time()
             fn(spark, sf_dir).count()
             queries[name] = round(time.time() - t0, 3)

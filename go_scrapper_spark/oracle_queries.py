@@ -783,26 +783,94 @@ def q_sessionize_events(spark, sf):
 
 
 # =============================================================================
-# Group C — engine-native entries (no SQL oracle: rows-only check; the
-# strong check is tests/test_crawl_equivalence.py)
+# Group C — engine-native entries. crawl_bulk_extract is gated against
+# a generator-truth fixture: the pure-Python extract_page (the same
+# function the reference model uses) over the same synthetic web,
+# written to parquet; the DuckDB twin reads that parquet. This makes
+# the byte-identical-extraction invariant a hash check, not a count.
 # =============================================================================
+
+_BULK_EXTRACT_N_BIZ = 40
+_BULK_EXTRACT_FIXTURE = (
+    f"/tmp/gss_expected_bulk_extract_nbiz{_BULK_EXTRACT_N_BIZ}_v1.parquet"
+)
+
+
+def _ensure_bulk_extract_fixture() -> str:
+    """Write the expected bulk-extraction rows once (idempotent,
+    deterministic): pure Python — no Spark — so the fixture is an
+    independent twin of the distributed mapInPandas path, not a copy of
+    its output."""
+    import os
+
+    if os.path.exists(_BULK_EXTRACT_FIXTURE):
+        return _BULK_EXTRACT_FIXTURE
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_scrapper_spark.functions.extract import extract_page
+    from go_scrapper_spark.sources import synthetic_web as sw
+
+    cfg = sw.WebConfig(n_biz=_BULK_EXTRACT_N_BIZ)
+    cols = {k: [] for k in (
+        "url", "review_id", "author_id", "author_name", "text", "rating",
+        "source_date", "review_hash",
+    )}
+    for biz in range(cfg.n_biz):
+        for url, _ts, body, _text, _lang in sw.pages_for_biz(cfg, biz):
+            for r in extract_page(url, body, 0, 0, 0):
+                if r["kind"] != "review":
+                    continue
+                cols["url"].append(url)
+                cols["review_id"].append(r["review_id"] or "")
+                cols["author_id"].append(r["author_id"])
+                cols["author_name"].append(r["author_name"])
+                cols["text"].append(r["text"])
+                cols["rating"].append(r["rating"])
+                cols["source_date"].append(r["source_date"])
+                cols["review_hash"].append(r["review_hash"])
+    table = pa.table(
+        {
+            **{k: pa.array(cols[k], pa.string()) for k in cols if k != "rating"},
+            "rating": pa.array(cols["rating"], pa.int32()),
+        }
+    ).select(list(cols))
+    tmp = _BULK_EXTRACT_FIXTURE + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, _BULK_EXTRACT_FIXTURE)  # atomic vs concurrent callers
+    return _BULK_EXTRACT_FIXTURE
+
 
 def q_crawl_bulk_extract(spark, sf):
     """The extraction stage over a generated synthetic web: one
-    mapInPandas pass, html read once per page (no scheduler loop)."""
+    mapInPandas pass, html read once per page (no scheduler loop).
+    review_id is coalesced to '' (non-recommended reviews carry none)
+    so every output cell is a scalar non-surprising hash input."""
     from go_scrapper_spark.functions.extract import extract_pages
     from go_scrapper_spark.sources.synthetic_web import WebConfig, generate_pages_df
 
-    pages = generate_pages_df(spark, WebConfig(n_biz=40), n_partitions=8)
+    _ensure_bulk_extract_fixture()
+    pages = generate_pages_df(
+        spark, WebConfig(n_biz=_BULK_EXTRACT_N_BIZ), n_partitions=8
+    )
     fetched = pages.select(
         "url", "html", F.lit(0).alias("depth"),
         F.lit(0).cast("long").alias("seq"), F.lit(0).alias("fpo"),
     )
     u = extract_pages(fetched)
     return u.filter(F.col("kind") == "review").select(
-        "url", "review_id", "author_id", "author_name", "text", "rating",
+        "url",
+        F.coalesce("review_id", F.lit("")).alias("review_id"),
+        "author_id", "author_name", "text", "rating",
         "source_date", "review_hash",
     )
+
+
+SQL_BULK_EXTRACT = f"""
+SELECT url, review_id, author_id, author_name, text, rating,
+       source_date, review_hash
+FROM '{_BULK_EXTRACT_FIXTURE}'
+"""
 
 
 # =============================================================================
@@ -847,11 +915,13 @@ QUERIES = {
     "mm_audio_features": (q_mm_audio_features, SQL_MM_AUDIO),
     "mm_video_frames": (q_mm_video_frames, SQL_MM_VIDEO),
     "sessionize_events": (q_sessionize_events, sql_sessionize(30)),
+    "crawl_bulk_extract": (q_crawl_bulk_extract, SQL_BULK_EXTRACT),
 }
 
-NO_ORACLE = {
-    "crawl_bulk_extract": q_crawl_bulk_extract,
-}
+# engine internals with no SQL twin (the crawl scheduler itself is
+# model-equivalence-tested in tests/test_crawl_equivalence.py); empty
+# since round 3 — every registry entry now carries a hard oracle
+NO_ORACLE: dict = {}
 
 
 def queries():
@@ -861,4 +931,7 @@ def queries():
 
 
 def oracle_sql():
+    # the bulk-extract twin reads a generator-truth parquet fixture —
+    # materialize it before the driver hands the SQL to DuckDB
+    _ensure_bulk_extract_fixture()
     return {name: sql for name, (_fn, sql) in QUERIES.items()}
