@@ -418,23 +418,37 @@ class CrawlEngine:
         )
 
         if cfg.metrics:
-            # micro-jobs over the already-materialized checkpoints
-            frow = fetch_log.agg(
-                F.count("*").alias("attempted"),
-                F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
-                F.sum("n_bytes").alias("bytes"),
-            ).collect()[0]
-            urow = union.agg(
-                F.count(F.when(F.col("kind") == "review", 1)).alias("reviews"),
-                F.count(F.when(F.col("kind") == "outlink", 1)).alias("outlinks"),
-            ).collect()[0]
+            # ONE micro-job over the already-materialized checkpoints:
+            # crossJoin of the two 1-row aggregates collapses the former
+            # two collect round-trips into a single action (per-wave
+            # fixed cost is the crawl headline's bottleneck at small
+            # payload — every driver round-trip counts)
+            row = (
+                fetch_log.agg(
+                    F.count("*").alias("attempted"),
+                    F.count(F.when(F.col("status") == 200, 1)).alias("fetched"),
+                    F.sum("n_bytes").alias("bytes"),
+                )
+                .crossJoin(
+                    union.agg(
+                        F.count(F.when(F.col("kind") == "review", 1)).alias("reviews"),
+                        F.count(F.when(F.col("kind") == "outlink", 1)).alias("outlinks"),
+                    )
+                )
+                # folding new_rows in materializes the third persisted
+                # subtree inside the same action, so the commit's
+                # concurrent table writers never race to compute it
+                .crossJoin(new_rows.agg(F.count("*").alias("discovered")))
+                .collect()[0]
+            )
             stats = {
                 "wave_id": wave_id,
-                "attempted": frow["attempted"],
-                "fetched": frow["fetched"],
-                "bytes": frow["bytes"] or 0,
-                "reviews": urow["reviews"],
-                "outlinks": urow["outlinks"],
+                "attempted": row["attempted"],
+                "fetched": row["fetched"],
+                "bytes": row["bytes"] or 0,
+                "reviews": row["reviews"],
+                "outlinks": row["outlinks"],
+                "discovered": row["discovered"],
             }
         else:
             stats = {

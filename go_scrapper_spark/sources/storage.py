@@ -67,17 +67,31 @@ class SnapshotStore:
 
     def commit(self, wave_id: int, tables: dict[str, DataFrame],
                partition_by: dict[str, list[str]] | None = None) -> dict:
-        """Write all tables for a wave, then the manifest (atomic rename)."""
+        """Write all tables for a wave, then the manifest (atomic rename).
+
+        Table writes run CONCURRENTLY (one driver thread per table —
+        Spark's scheduler is thread-safe and overlaps the jobs), so the
+        commit round-trip costs ~the slowest table, not the sum of all
+        of them. Atomicity is unchanged: the manifest is still written
+        last, only after every table job has succeeded."""
+        from concurrent.futures import ThreadPoolExecutor
+
         snap = self._snap_dir(wave_id)
         if os.path.exists(snap) and not os.path.exists(self._manifest_path(wave_id)):
             shutil.rmtree(snap)  # orphan from a crashed attempt — idempotent retry
         counts: dict[str, int] = {}
-        for name, df in tables.items():
-            path = os.path.join(snap, name)
+
+        def write_one(item):
+            name, df = item
             writer = df.write.mode("overwrite")
             for col in (partition_by or {}).get(name, []):
                 writer = writer.partitionBy(col)
-            writer.parquet(path)
+            writer.parquet(os.path.join(snap, name))
+
+        with ThreadPoolExecutor(max_workers=min(8, max(len(tables), 1))) as ex:
+            # list() re-raises the first writer exception BEFORE the
+            # manifest write — a failed table never gets committed
+            list(ex.map(write_one, tables.items()))
         manifest = {"wave_id": wave_id, "tables": sorted(tables), "counts": counts}
         tmp = self._manifest_path(wave_id) + ".tmp"
         with open(tmp, "w") as f:
