@@ -76,6 +76,93 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-bigram mass, both in exact permille (machine-generated or
+    boilerplate text scores high on both and gets cut before training).
+    Whole-stage-codegen expressions except the bigram mode, which is
+    one explode + two-level agg (a single shuffle keyed by doc)."""
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("_n"),
+        F.floor((n_tok - n_distinct) * 1000 / n_tok).cast("long").alias("dup_token_permille"),
+    )
+    # guard BEFORE the sequence: for a 1-token doc sequence(0, -1) is
+    # the DESCENDING sequence [0, -1], not empty, and words[-1 + 1]
+    # then faults under ANSI array indexing
+    bigrams = docs.filter(F.size(F.split(t, " ")) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split({text_col}, ' ')) - 2), "
+                f"i -> concat_ws(' ', split({text_col}, ' ')[i], split({text_col}, ' ')[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("_top_cnt"),
+            F.sum("cnt").alias("_total_bg"),
+        )
+    )
+    return (
+        base.join(top_bg, id_col, "left")
+        .select(
+            id_col,
+            "dup_token_permille",
+            F.coalesce(
+                F.floor(F.col("_top_cnt") * 1000 / F.col("_total_bg")), F.lit(0)
+            ).cast("long").alias("top_bigram_permille"),
+            F.when(
+                (F.col("dup_token_permille") < 600)
+                & (F.coalesce(F.floor(F.col("_top_cnt") * 1000 / F.col("_total_bg")), F.lit(0)) < 180),
+                F.lit("keep"),
+            ).otherwise(F.lit("drop")).alias("repetition_band"),
+        )
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k salient terms per document by an integer-exact tf-idf
+    surrogate: score = tf * (1_000_000 div df) with integral division
+    (cross-engine exact where float ln() is not), ties broken by term.
+    Plan: token explode → (doc, term) tf agg → term df agg (broadcast
+    back — the term dictionary is tiny next to the corpus) → per-doc
+    top-k window partitioned by doc. Two shuffles keyed doc/term, both
+    combiner-friendly."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    df_t = tok.select("doc", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_t), "term").withColumn(
+        "score", (F.col("tf") * F.expr("1000000 div df")).cast("long")
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score", "rank")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprints: whole-text md5 of the normalized text +

@@ -151,6 +151,53 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 6, n: int = 3, bands: int = 3,
     )
 
 
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         max_iters: int = 50) -> DataFrame:
+    """Connected components by iterated min-label propagation — the
+    stage between near-dup PAIR generation and corpus pruning (a dedup
+    pipeline keeps min(cluster) and drops the rest; pairs alone cannot
+    express transitive groups like a~b, b~c ⇒ {a,b,c}).
+
+    ``vertices``: (doc) one row per node; ``edges``: (src, dst)
+    undirected pairs. Returns (doc, cluster_id) with cluster_id =
+    min doc id in the component.
+
+    Scale shape: each iteration is ONE shuffle (edge join + min agg) at
+    frontier size O(V+E); iterations bound by component DIAMETER, and
+    near-dup clusters are shallow (dups of dups), so 3-5 iterations
+    settle real corpora. The loop runs until a fixpoint COUNTER job
+    reports no label changed (O(1) driver data per iteration); labels
+    localCheckpoint each round so lineage stays flat. This is the
+    standard large/small-star simplification for shallow components; at
+    10^10 edges you'd switch the inner join to the alternating-star
+    variant, same driver loop."""
+    sym = edges.select(F.col("src"), F.col("dst")).unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # materialize ONCE — the pair-generation
+    # subtree (LSH joins) must not recompute every iteration
+    labels = vertices.select(F.col("doc"), F.col("doc").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("cluster_id"),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("_chg")).count()
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(docs: DataFrame, bits: int = 16,
             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: per token take ``bits`` bits of md5, sum

@@ -491,25 +491,33 @@ def q_dedup_minhash_lsh(spark, sf):
     )
 
 
-def _sql_minhash() -> str:
+def _minhash_ctes() -> tuple[str, str]:
+    """(CTE text building docs/sh/sig, band-match predicate) — shared
+    by the LSH-pairs twin and the connected-components twin."""
     sigs = ",\n       ".join(
         f"min(md5('{i}:' || sh)) AS s{i}" for i in range(6)
     )
     bands = " OR ".join(
         f"(a.s{2*b} = c.s{2*b} AND a.s{2*b+1} = c.s{2*b+1})" for b in range(3)
     )
-    matches = " + ".join(
-        f"CASE WHEN a.s{i} = c.s{i} THEN 1 ELSE 0 END" for i in range(6)
-    )
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+    ctes = f"""docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
 sh AS (
   SELECT DISTINCT doc_id AS doc, unnest(list_transform(
       range(1, len(string_split(text, ' ')) - 1),
       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
            || ' ' || string_split(text, ' ')[i+2])) AS sh
   FROM docs WHERE len(string_split(text, ' ')) >= 3),
-sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc)
+sig AS (SELECT doc, {sigs} FROM sh GROUP BY doc)"""
+    return ctes, bands
+
+
+def _sql_minhash() -> str:
+    ctes, bands = _minhash_ctes()
+    matches = " + ".join(
+        f"CASE WHEN a.s{i} = c.s{i} THEN 1 ELSE 0 END" for i in range(6)
+    )
+    return f"""
+WITH {ctes}
 SELECT a.doc AS doc_a, c.doc AS doc_b, CAST({matches} AS BIGINT) AS sig_matches
 FROM sig a JOIN sig c ON a.doc < c.doc AND ({bands})
 """
@@ -533,6 +541,40 @@ WITH tok AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
 agg AS (SELECT doc, {bit_sums} FROM tok GROUP BY doc)
 SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def q_dedup_clusters(spark, sf):
+    """Connected components over the MinHash-LSH candidate pairs: the
+    pair → cluster stage a dedup pipeline needs before pruning (keep
+    min(cluster), drop the rest). The Spark side converges by iterated
+    min-label propagation; the DuckDB twin computes true reachability
+    with a recursive CTE — agreement proves the iteration reached the
+    fixpoint, not just a plausible labeling."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    pairs = dedupe.minhash_lsh_pairs(docs, k=6, n=3, bands=3)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = docs.select(F.col("doc_id").alias("doc"))
+    return dedupe.connected_components(verts, edges)
+
+
+def _sql_dedup_clusters() -> str:
+    ctes, bands = _minhash_ctes()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  SELECT a.doc AS doc_a, c.doc AS doc_b
+  FROM sig a JOIN sig c ON a.doc < c.doc AND ({bands})),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+verts AS (SELECT doc_id AS doc FROM docs),
+reach(doc, r) AS (
+  SELECT doc, doc FROM verts
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc)
+SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
 """
 
 
@@ -636,6 +678,49 @@ SELECT doc_id,
                  / len(regexp_split_to_array(text, '\\s+'))) >= 80
             THEN 'en_like' ELSE 'other' END AS lang_guess
 FROM documents
+"""
+
+
+def q_text_repetition(spark, sf):
+    return textstats.repetition_signals(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_REPETITION = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(floor((len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 1000
+              / len(string_split(text, ' '))) AS BIGINT) AS dup_token_permille
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bg
+  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total_bg FROM cnts GROUP BY doc_id)
+SELECT b.doc_id, b.dup_token_permille,
+       CAST(coalesce(floor(t.top_cnt * 1000 / t.total_bg), 0) AS BIGINT) AS top_bigram_permille,
+       CASE WHEN b.dup_token_permille < 600
+                 AND coalesce(floor(t.top_cnt * 1000 / t.total_bg), 0) < 180
+            THEN 'keep' ELSE 'drop' END AS repetition_band
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_text_tfidf_topk(spark, sf):
+    return textstats.tfidf_topk(_t(spark, sf, "documents"), k=3)
+
+
+SQL_TEXT_TFIDF = """
+WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT doc, term, tf, df, CAST(tf * (1000000 // df) AS BIGINT) AS score
+  FROM tf JOIN dft USING (term))
+SELECT doc, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc
+           ORDER BY score DESC, term) AS BIGINT) AS rank FROM scored)
+WHERE rank <= 3
 """
 
 
@@ -903,6 +988,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_simhash": (q_dedup_simhash, _sql_simhash()),
     "sim_topk_dot": (q_sim_topk_dot, SQL_SIM_TOPK),
     "sim_lsh_neighbors": (q_sim_lsh_neighbors, _sql_lsh_neighbors()),
@@ -910,6 +996,8 @@ QUERIES = {
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
     "mm_audio_features": (q_mm_audio_features, SQL_MM_AUDIO),

@@ -50,6 +50,65 @@ def test_minhash_identical_docs_full_band_match(docs):
     assert pairs[(0, 1)] == 6  # identical → all signature components equal
 
 
+def test_connected_components_transitive_clusters(spark):
+    # a~b, b~c chain plus an isolated d: components must be transitive
+    # ({a,b,c} one cluster) and total (d labels itself)
+    verts = spark.createDataFrame([(10,), (11,), (12,), (13,), (14,)], "doc long")
+    edges = spark.createDataFrame(
+        [(11, 10), (11, 12), (13, 14)], "src long, dst long"
+    )
+    labels = {
+        r["doc"]: r["cluster_id"]
+        for r in dedupe.connected_components(verts, edges).collect()
+    }
+    assert labels == {10: 10, 11: 10, 12: 10, 13: 13, 14: 13}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 9-node path needs multiple propagation rounds (diameter 8)
+    n = 9
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = dedupe.connected_components(verts, edges).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == n
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),       # all dup tokens, one bigram
+        (1, "all fresh words appear exactly once"),  # no repetition
+        (2, "x"),                                    # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_signals(df).collect()}
+    assert out[0]["dup_token_permille"] == 833  # floor(5/6 * 1000)
+    assert out[0]["top_bigram_permille"] == 1000
+    assert out[0]["repetition_band"] == "drop"
+    assert out[1]["dup_token_permille"] == 0
+    assert out[1]["top_bigram_permille"] == 200  # 1 of 5 bigrams
+    assert out[2]["top_bigram_permille"] == 0  # no bigrams → 0, not null
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    rows = [
+        (0, "common common rare0"),
+        (1, "common rare1 rare1"),
+        (2, "common other other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.tfidf_topk(df, k=1).collect()
+    top = {r["doc"]: r for r in out}
+    # 'common' has df=3 → idf 333333; each doc's rare term (df=1,
+    # idf 1000000) outranks it even at equal tf
+    assert top[0]["term"] == "rare0" and top[0]["score"] == 1_000_000
+    assert top[1]["term"] == "rare1" and top[1]["score"] == 2_000_000
+    assert top[2]["term"] == "other"
+    assert all(r["rank"] == 1 for r in out)
+
+
 def test_simhash_identical_docs_equal(docs):
     fps = {r["doc"]: r["simhash"] for r in dedupe.simhash(docs).collect()}
     assert fps[0] == fps[1]
