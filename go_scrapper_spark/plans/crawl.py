@@ -125,6 +125,8 @@ class CrawlEngine:
         self._frontier_cache: DataFrame | None = None
         self._pending_deltas: dict[str, list[DataFrame]] = {}
         self._pending_metrics: list[tuple] = []
+        # persisted wave subtrees awaiting the next snapshot commit
+        self._pending_mats: list[DataFrame] = []
         # bloom seen-filter state (use_bloom): the per-bucket bloom
         # TABLE (bucket, bloom, m_bits, k_hashes) — held as an eagerly
         # checkpointed DataFrame between waves, merged distributively
@@ -303,21 +305,16 @@ class CrawlEngine:
         # one materialization per subtree per wave: [1] wave select +
         # fetch join, [2] extraction, [3] candidate pipeline. Everything
         # downstream — deltas, stats, the frontier merge — is a lazy
-        # projection over these three. On waves that will commit, a lazy
-        # persist suffices (the table writes materialize it); on
-        # transient waves an eager localCheckpoint truncates lineage and
-        # carries the rows to the next commit.
-        planned_ckpt = (
-            cfg.checkpoint_every <= 1
-            or wave_id % cfg.checkpoint_every == 0
-            or wave_id >= cfg.max_supersteps
-        )
-        mat = (
-            (lambda df: df.persist())
-            if planned_ckpt
-            else (lambda df: df.localCheckpoint(eager=True))
-        )
-        self._wave_mats = []
+        # projection over these three. All three are LAZY persists: the
+        # single metrics action below materializes them together in one
+        # driver round-trip (three eager localCheckpoints here would be
+        # three sequential job launches per wave — the per-wave fixed
+        # cost that dominates crawl wall time at sandbox payload).
+        # Persisted frames from transient waves stay cached until the
+        # next snapshot commit writes them (unpersisted in
+        # _drop_transients); recompute-on-eviction is deterministic, so
+        # semantics never depend on the cache.
+        mat = lambda df: df.persist()  # noqa: E731
 
         # one log row per ATTEMPT (the reference logs each retry):
         # attempt index i gets 503 while transient, then 200/404
@@ -349,8 +346,7 @@ class CrawlEngine:
         )
         ok = fetched.filter(F.col("_succ"))
         union = mat(extract_pages(ok))
-        if planned_ckpt:
-            self._wave_mats += [fetch_log, union]
+        self._pending_mats += [fetch_log, union]
 
         reviews = self._finish_reviews(union.filter(F.col("kind") == "review"), wave_id)
         pagetexts = union.filter(F.col("kind") == "pagetext").select(
@@ -362,8 +358,7 @@ class CrawlEngine:
         )
 
         new_rows = mat(self._new_frontier_rows(union, frontier, wave_id))
-        if planned_ckpt:
-            self._wave_mats.append(new_rows)
+        self._pending_mats.append(new_rows)
 
         if cfg.use_bloom and self._bloom_df is not None:
             # fold this wave's delta into the bloom table — fully
@@ -451,15 +446,16 @@ class CrawlEngine:
                 "discovered": row["discovered"],
             }
         else:
+            # no-metrics path: still materialize each persisted subtree
+            # at full parallelism before any coalesced write collapses
+            # its task count
             stats = {
                 "wave_id": wave_id,
                 "attempted": fetch_log.count(),
                 "fetched": 0, "bytes": 0, "reviews": 0, "outlinks": 0,
             }
-            if planned_ckpt:
-                # materialize the persisted extraction at full parallelism
-                # before the coalesced write would collapse its task count
-                union.count()
+            union.count()
+            new_rows.count()
         self._pending_metrics.extend(
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
         )
@@ -510,16 +506,19 @@ class CrawlEngine:
                 self._frontier_cache.unpersist()
             self._frontier_cache = new_frontier
         fetched.unpersist()
-        for df in self._wave_mats:
-            df.unpersist()
-        self._wave_mats = []
         stats["pending"] = None  # filled by run()
         return stats
 
     def _drop_transients(self) -> None:
+        """Called after each snapshot commit: the accumulated delta
+        frames (this checkpoint window's persisted wave subtrees) are
+        on disk now, so release their cache."""
         if self._frontier_cache is not None:
             self._frontier_cache.unpersist()
             self._frontier_cache = None
+        for df in self._pending_mats:
+            df.unpersist()
+        self._pending_mats = []
         self._pending_deltas = {}
         self._pending_metrics = []
 
