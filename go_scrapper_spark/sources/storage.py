@@ -92,7 +92,25 @@ class SnapshotStore:
             # list() re-raises the first writer exception BEFORE the
             # manifest write — a failed table never gets committed
             list(ex.map(write_one, tables.items()))
-        manifest = {"wave_id": wave_id, "tables": sorted(tables), "counts": counts}
+        # per-table file lineage (the Iceberg-manifest analog): the
+        # manifest pins exactly which data files belong to this
+        # snapshot, so readers/auditors can detect orphans from crashed
+        # attempts and a resume can account for every partition
+        files: dict[str, list[str]] = {}
+        for name in tables:
+            tdir = os.path.join(snap, name)
+            files[name] = sorted(
+                os.path.relpath(os.path.join(root, f), tdir)
+                for root, _dirs, fs in os.walk(tdir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        manifest = {
+            "wave_id": wave_id,
+            "tables": sorted(tables),
+            "counts": counts,
+            "files": files,
+        }
         tmp = self._manifest_path(wave_id) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)

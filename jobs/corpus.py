@@ -8,16 +8,19 @@ Stages (each a native declarative plan; one JSON summary line printed):
 
 1. quality gate    — textstats.text_quality keep-band (C4/Gopher shape)
 2. exact dedup     — md5 content-hash group-by, canonical = min doc_id
-3. near-dup prune  — MinHash+LSH candidate pairs; of each pair with
+3. near-dup prune  — MinHash+LSH candidate pairs with
                      >= --near-dup-matches matching signature
-                     components, the higher doc_id is dropped
-                     (deterministic survivor rule)
+                     components → connected components (min-label
+                     propagation, dedupe.connected_components) → keep
+                     the min doc_id of each transitive cluster
 4. language split  — textstats.lang_id; output parquet partitioned by
                      lang_guess (the layout a per-language training
                      mix reads back with partition pruning)
 
 Scale notes: stages 1/4 are row-local (codegen), stage 2 one shuffle,
-stage 3 the LSH band join — nothing quadratic, nothing driver-side.
+stage 3 the LSH band join plus component rounds bounded by cluster
+diameter (near-dup clusters are shallow) — nothing quadratic, nothing
+driver-side beyond the O(1) fixpoint counter.
 """
 
 from __future__ import annotations
@@ -55,14 +58,22 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
     counts["after_exact_dedup"] = deduped.count()
     kept.unpersist()
 
-    # near-dup prune: drop the higher id of each strong candidate pair
-    pairs = dedupe.minhash_lsh_pairs(deduped)
-    losers = (
-        pairs.filter(F.col("sig_matches") >= near_dup_matches)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+    # near-dup prune: strong candidate pairs → connected components →
+    # keep exactly one doc (the min id) per TRANSITIVE cluster. A pure
+    # pairwise drop-the-higher-id rule over-keeps on chains discovered
+    # through a middle document (pairs (a,c),(b,c) with no (a,b) would
+    # keep both a and b); component labeling closes the transitivity.
+    pairs = dedupe.minhash_lsh_pairs(deduped).filter(
+        F.col("sig_matches") >= near_dup_matches
     )
-    survivors = deduped.join(losers, "doc_id", "left_anti").persist()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    clusters = dedupe.connected_components(
+        deduped.select(F.col("doc_id").alias("doc")), edges
+    )
+    keepers = clusters.filter(F.col("doc") == F.col("cluster_id")).select(
+        F.col("doc").alias("doc_id")
+    )
+    survivors = deduped.join(keepers, "doc_id", "left_semi").persist()
     counts["after_near_dup"] = survivors.count()
     deduped.unpersist()
 
