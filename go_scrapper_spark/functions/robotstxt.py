@@ -1,0 +1,131 @@
+"""robots.txt → politeness-policy table, JVM-side (crawl tier).
+
+The reference DISABLES robots handling (colly `IgnoreRobotsTxt`,
+reference collyfunc.go:68); the north rule makes enforcement a
+first-class requirement, and the engine consumes an explicit policy
+table (ROBOTS_SCHEMA → operators/politeness.py). This module closes
+the gap between the two: it parses RAW robots.txt bodies into that
+table with pure Spark SQL expressions — posexplode over lines, one
+host-partitioned window to assign user-agent GROUPS, then a
+conditional aggregate per host. No Python in the parse path, so a
+10^7-host robots corpus parses as one codegen'd plan with a single
+shuffle (the per-host window/agg).
+
+Semantics implemented (the subset crawlers actually obey, per
+RFC 9309):
+- groups: one or more consecutive ``User-agent:`` lines start a group;
+  the rules that follow (until the next group) apply to those agents.
+- only the ``*`` group is extracted (the engine crawls with one UA
+  family); Allow/Disallow values become the policy's prefix arrays.
+- ``Crawl-delay: <seconds>`` (fractional ok) → crawl_delay_ms.
+- comments (#...) stripped; blank/unknown lines ignored; keys are
+  case-insensitive; an empty ``Disallow:`` value (= allow all) is
+  dropped rather than kept as a '' prefix that would match everything.
+- hosts with no ``*`` group get the permissive default (allow /,
+  disallow nothing) — per RFC 9309 §2.2.1, no applicable group means
+  no restrictions.
+
+``max_parallel`` is not a robots.txt concept: the engine default (the
+reference's colly Parallelism 10, collyfunc.go:179) is attached here
+so the output is directly joinable by operators/politeness.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CRAWL_DELAY_MS = 3000  # colly LimitRule Delay 3s (collyfunc.go:115-119)
+DEFAULT_MAX_PARALLEL = 10      # colly Parallelism (collyfunc.go:179)
+
+
+def parse_robots_txt(
+    robots_bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    default_delay_ms: int = DEFAULT_CRAWL_DELAY_MS,
+    default_max_parallel: int = DEFAULT_MAX_PARALLEL,
+) -> DataFrame:
+    """(host, body) → ROBOTS_SCHEMA-shaped policy rows."""
+    # one row per line, order preserved (pos drives the group window)
+    lines = robots_bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    key = F.lower(F.trim(F.substring_index("line", ":", 1)))
+    val = F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+    parsed = lines.filter(F.col("line").contains(":")).select(
+        "host", "pos",
+        key.alias("key"),
+        val.alias("val"),
+    )
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    # a user-agent line starts a NEW group unless the previous parsed
+    # line was also a user-agent line (consecutive UA lines share one
+    # group, RFC 9309 §2.2.1)
+    starts_group = (
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
+    ).cast("int")
+    grouped = parsed.withColumn("group_id", F.sum(starts_group).over(w))
+
+    # groups whose agent set contains '*'
+    star_groups = (
+        grouped.filter((F.col("key") == "user-agent") & (F.col("val") == "*"))
+        .select("host", "group_id")
+        .distinct()
+    )
+    star_rules = grouped.join(star_groups, ["host", "group_id"], "left_semi")
+
+    policies = star_rules.groupBy("host").agg(
+        F.sort_array(
+            F.collect_set(
+                F.when((F.col("key") == "allow") & (F.col("val") != ""), F.col("val"))
+            )
+        ).alias("allow_prefixes"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    (F.col("key") == "disallow") & (F.col("val") != ""), F.col("val")
+                )
+            )
+        ).alias("disallow_prefixes"),
+        F.coalesce(
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("key") == "crawl-delay",
+                        F.col("val").cast("double") * 1000,
+                    )
+                )
+            ).cast("long"),
+            F.lit(default_delay_ms).cast("long"),
+        ).alias("crawl_delay_ms"),
+    )
+    # hosts with no '*' group (or an unparseable body): permissive
+    # default — no applicable group means no restrictions (RFC 9309)
+    all_hosts = robots_bodies.select(F.col(host_col).alias("host")).distinct()
+    return (
+        all_hosts.join(policies, "host", "left")
+        .select(
+            "host",
+            # a star group with no Allow lines allows everything not
+            # disallowed — normalize both that and the no-group case
+            # to the explicit ["/"] form the engine's tables use
+            F.when(
+                F.coalesce(F.size("allow_prefixes"), F.lit(0)) > 0,
+                F.col("allow_prefixes"),
+            ).otherwise(F.array(F.lit("/"))).alias("allow_prefixes"),
+            F.coalesce(
+                "disallow_prefixes", F.array().cast("array<string>")
+            ).alias("disallow_prefixes"),
+            F.coalesce(
+                "crawl_delay_ms", F.lit(default_delay_ms).cast("long")
+            ).alias("crawl_delay_ms"),
+            F.lit(default_max_parallel).alias("max_parallel"),
+        )
+    )

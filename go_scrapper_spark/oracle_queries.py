@@ -381,6 +381,54 @@ FROM customer
 """
 
 
+def q_robots_policy(spark, sf):
+    """S9 robots enforcement, parse stage: synthesize a deterministic
+    robots.txt body per customer (a googlebot-only group that must NOT
+    leak, a star group with allow/disallow/optional crawl-delay), run
+    the REAL JVM-side parser (functions/robotstxt.py — posexplode,
+    group window, star-group agg), and compare to the directly-computed
+    expected policy (the q_canon_urls oracle pattern)."""
+    from go_scrapper_spark.functions.robotstxt import parse_robots_txt
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    body = F.concat(
+        F.lit(
+            "# synthetic robots\nUser-agent: googlebot\nDisallow: /google-only/\n\n"
+            "User-agent: *\nAllow: /public/\nDisallow: /private"
+        ),
+        (k % 7).cast("string"),
+        F.lit("/\n"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("Crawl-delay: "), (k % 5 + 1).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    raw = c.select(
+        F.concat(F.lit("host"), k.cast("string"), F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    p = parse_robots_txt(raw)
+    return p.select(
+        "host",
+        F.explode("disallow_prefixes").alias("disallow_prefix"),
+        F.size("allow_prefixes").cast("long").alias("n_allow"),
+        "crawl_delay_ms",
+        "max_parallel",
+    )
+
+
+SQL_ROBOTS_POLICY = """
+SELECT 'host' || c_custkey || '.example' AS host,
+       '/private' || (c_custkey % 7) || '/' AS disallow_prefix,
+       CAST(1 AS BIGINT) AS n_allow,
+       CAST(CASE WHEN c_custkey % 3 = 0 THEN (1 + c_custkey % 5) * 1000
+                 ELSE 3000 END AS BIGINT) AS crawl_delay_ms,
+       10 AS max_parallel
+FROM customer
+"""
+
+
 def q_w1_global_topk(spark, sf):
     """W1 global date-desc sort with deterministic tiebreak, as top-100
     (the reference's sorted result list, main.go:984-1007)."""
@@ -985,6 +1033,7 @@ QUERIES = {
     "p10_date_parse": (q_p10_date_parse, SQL_P10),
     "p18_review_hash": (q_p18_review_hash, SQL_P18),
     "p13_canonicalize": (q_canon_urls, SQL_CANON),
+    "s9_robots_policy": (q_robots_policy, SQL_ROBOTS_POLICY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),

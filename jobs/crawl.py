@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "ROBOTS_SCHEMA columns); default with --pages: "
                          "allow-all for every host in the pages table, with "
                          "the reference's colly limits (3s delay, 10 parallel)")
+    ap.add_argument("--robots-txt", default=None,
+                    help="parquet of RAW robots.txt bodies (host, body); "
+                         "parsed JVM-side into the politeness table "
+                         "(functions/robotstxt.py). Mutually exclusive "
+                         "with --robots.")
     ap.add_argument("--store", default=None, help="snapshot/checkpoint dir")
     ap.add_argument("--n-biz", type=int, default=50,
                     help="synthetic web size when --pages is not given")
@@ -103,8 +108,14 @@ def main() -> None:
         pages = spark.read.parquet(args.pages)
     else:
         pages = sw.generate_pages_df(spark, cfg)
+    if args.robots and args.robots_txt:
+        raise SystemExit("--robots and --robots-txt are mutually exclusive")
     if args.robots:
         robots = spark.read.parquet(args.robots)
+    elif args.robots_txt:
+        from go_scrapper_spark.functions.robotstxt import parse_robots_txt
+
+        robots = parse_robots_txt(spark.read.parquet(args.robots_txt))
     elif args.pages:
         # BYO pages table: the robots join is an allow-list (unknown
         # hosts are dropped, politeness.py), so derive an allow-all

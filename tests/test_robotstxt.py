@@ -1,0 +1,107 @@
+"""robots.txt parsing (functions/robotstxt.py): raw bodies → the
+engine's ROBOTS_SCHEMA policy table, with RFC 9309 group semantics.
+The reference ignores robots entirely (collyfunc.go:68); the north
+rule makes enforcement first-class, so the parser must honor exactly
+the subset crawlers obey: star-group selection, consecutive-UA-line
+groups, comments, case-insensitive keys, crawl-delay, and the
+permissive no-group default."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.functions.robotstxt import parse_robots_txt
+from go_scrapper_spark.operators.politeness import apply_robots
+
+FULL = """# robots for h1
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Allow: /public/
+Disallow: /private/
+Disallow: /tmp/
+Crawl-delay: 2.5
+"""
+
+SHARED_GROUP = """User-agent: badbot
+User-agent: *
+Disallow: /x/
+"""
+
+NO_STAR = """User-agent: googlebot
+Disallow: /g/
+"""
+
+EMPTY_DISALLOW = """User-agent: *
+Disallow:
+"""
+
+MIXED_CASE = """uSeR-AgEnT: *
+DISALLOW: /Upper/
+crawl-DELAY: 1
+"""
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    rows = [
+        ("h1", FULL),
+        ("h2", SHARED_GROUP),
+        ("h3", NO_STAR),
+        ("h4", EMPTY_DISALLOW),
+        ("h5", MIXED_CASE),
+    ]
+    df = spark.createDataFrame(rows, "host string, body string")
+    return {r["host"]: r for r in parse_robots_txt(df).collect()}
+
+
+def test_star_group_rules_extracted(parsed):
+    r = parsed["h1"]
+    assert r["allow_prefixes"] == ["/public/"]
+    assert r["disallow_prefixes"] == ["/private/", "/tmp/"]
+    assert r["crawl_delay_ms"] == 2500
+    # the googlebot-only rule must NOT leak into the star policy
+    assert "/google-only/" not in r["disallow_prefixes"]
+
+
+def test_consecutive_ua_lines_share_one_group(parsed):
+    assert parsed["h2"]["disallow_prefixes"] == ["/x/"]
+
+
+def test_no_star_group_is_permissive(parsed):
+    r = parsed["h3"]
+    assert r["allow_prefixes"] == ["/"]
+    assert r["disallow_prefixes"] == []
+    assert r["crawl_delay_ms"] == 3000  # engine default (colly 3 s)
+
+
+def test_empty_disallow_means_allow_all(parsed):
+    assert parsed["h4"]["disallow_prefixes"] == []
+
+
+def test_keys_case_insensitive(parsed):
+    r = parsed["h5"]
+    assert r["disallow_prefixes"] == ["/Upper/"]  # values keep case
+    assert r["crawl_delay_ms"] == 1000
+
+
+def test_defaults_attached_for_engine_join(parsed):
+    assert all(r["max_parallel"] == 10 for r in parsed.values())
+
+
+def test_parsed_policy_drives_apply_robots(spark):
+    robots = parse_robots_txt(
+        spark.createDataFrame([("h1", FULL)], "host string, body string")
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h1/private/x", "h1"),
+            ("https://h1/public/ok", "h1"),
+            ("https://unknown/ok", "unknown"),
+        ],
+        "url string, host string",
+    )
+    kept = [r["url"] for r in apply_robots(cand, robots).collect()]
+    assert kept == ["https://h1/public/ok"]  # disallow + allow-list enforced
