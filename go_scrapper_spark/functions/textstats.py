@@ -163,6 +163,32 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     )
 
 
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction pass (emails, US-style phone numbers): counts per
+    doc plus the md5 of the scrubbed text — the shape a compliance
+    stage wants (audit counts without retaining the raw match). All
+    regexp_replace/regexp_count, codegen'd, no Python."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    # column-form regexp_count, NOT F.expr: a SQL string literal would
+    # process the pattern's backslashes before the regex engine sees it
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Document fingerprints: whole-text md5 of the normalized text +

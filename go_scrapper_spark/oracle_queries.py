@@ -772,6 +772,68 @@ WHERE rank <= 3
 """
 
 
+def q_text_pii_scrub(spark, sf):
+    return textstats.pii_scrub(_t(spark, sf, "documents"))
+
+
+SQL_TEXT_PII = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{textstats.PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{textstats.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{textstats.PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+def q_sample_stratified(spark, sf):
+    """Reproducible per-stratum hash sampling over (lang): keep 250‰ of
+    'en', 500‰ of 'de', 0 otherwise — the data-mix resampling shape."""
+    from go_scrapper_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf, "documents"), rates={"en": 250, "de": 500},
+        stratum_col="lang",
+    )
+    return out.select("doc_id", "lang", F.col("sample_bucket").cast("long").alias("sample_bucket"))
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang,
+       CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS BIGINT) AS sample_bucket
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+      < CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500 ELSE 0 END
+"""
+
+
+def q_pack_shards(spark, sf):
+    """Token-budget shard packing per lang stratum (the sequence-
+    packing stage before training): running token sum, shard =
+    floor(start_offset / budget)."""
+    from go_scrapper_spark.operators.sampling import pack_shards
+
+    docs = _t(spark, sf, "documents")
+    with_tokens = docs.select(
+        "doc_id", "lang",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_shards(with_tokens, budget_tokens=500, stratum_col="lang",
+                       tokens_col="n_tokens")
+
+
+SQL_PACK_SHARDS = """
+WITH t AS (
+  SELECT doc_id, lang AS stratum,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, stratum, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 500) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
 def q_text_fingerprint(spark, sf):
     return textstats.fingerprint(_t(spark, sf, "documents"))
 
@@ -1047,6 +1109,9 @@ QUERIES = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF),
+    "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "pack_shards": (q_pack_shards, SQL_PACK_SHARDS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
     "mm_audio_features": (q_mm_audio_features, SQL_MM_AUDIO),

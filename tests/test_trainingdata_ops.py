@@ -240,3 +240,59 @@ def test_multimodal_audio_video_plumbing(spark):
 def test_multimodal_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG")
+
+
+def test_stratified_sample_deterministic_hash(spark):
+    import hashlib
+
+    from go_scrapper_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "xx") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, rates={"en": 300}, stratum_col="lang")
+    got = {r["doc_id"] for r in out.collect()}
+    expected = {
+        i
+        for i, lang in rows
+        if lang == "en"
+        and int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 < 300
+    }
+    assert got == expected and expected  # exact membership, non-empty
+    # rerun yields the identical sample (hash, not rand)
+    again = {r["doc_id"] for r in stratified_sample(
+        df, rates={"en": 300}, stratum_col="lang").collect()}
+    assert again == got
+
+
+def test_pack_shards_budget_boundaries(spark):
+    from go_scrapper_spark.operators.sampling import pack_shards
+
+    rows = [
+        (0, "en", 400), (1, "en", 400),  # start offsets 0, 400 → shard 0
+        (2, "en", 400),                   # starts at 800 (< budget) → shard 0
+        (3, "en", 2500),                  # starts at 1200 → shard 1 (oversized, alone)
+        (4, "en", 10),                    # starts at 3700 → shard 3
+        (5, "de", 10),                    # separate stratum restarts at 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = {r["doc_id"]: r["shard_id"] for r in pack_shards(
+        df, budget_tokens=1000, stratum_col="lang").collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 3, 5: 0}
+
+
+def test_pii_scrub_counts_and_hash(spark):
+    import hashlib
+
+    rows = [
+        (0, "mail me at bob@example.com or alice@test.org today"),
+        (1, "call 555-867-5309 now"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.pii_scrub(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_phones"] == 0
+    assert out[1]["n_phones"] == 1
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    expected = hashlib.md5(b"mail me at <EMAIL> or <EMAIL> today").hexdigest()
+    assert out[0]["scrubbed_md5"] == expected
+    assert out[1]["scrubbed_md5"] == hashlib.md5(b"call <PHONE> now").hexdigest()
