@@ -73,6 +73,7 @@ def crawl_bench(spark, n_biz: int) -> dict:
         "supersteps": total["supersteps"],
         "crawl_sec": round(wall, 2),
         "crawl_pages_per_sec": round(total["fetched"] / wall, 1),
+        "wave_secs": total.get("wave_secs", []),
     }
 
 

@@ -533,10 +533,13 @@ class CrawlEngine:
             assert seeds_df is not None, "fresh run needs seeds"
             self.seed(seeds_df)
             latest = 0
-        total = {"supersteps": 0, "fetched": 0, "reviews": 0, "attempted": 0, "bytes": 0}
+        total = {"supersteps": 0, "fetched": 0, "reviews": 0, "attempted": 0,
+                 "bytes": 0, "wave_secs": []}
         for wave_id in range(latest + 1, self.cfg.max_supersteps + 1):
+            t_w = time.time()
             stats = self.run_superstep(wave_id)
             total["supersteps"] += 1
+            total["wave_secs"].append(round(time.time() - t_w, 2))
             for k in ("fetched", "reviews", "attempted", "bytes"):
                 total[k] += stats[k]
             if stats["attempted"] == 0:
