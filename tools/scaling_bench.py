@@ -38,6 +38,7 @@ def run_at(cores: int, n_biz: int) -> dict:
         BENCH_N_BIZ=str(n_biz),
         BENCH_SKIP_QUERIES="1",
         BENCH_SKIP_SCALING="1",  # this tool IS the scaling harness
+        BENCH_CRAWL_SAMPLES="1",  # the pairs loop below is the sampler
         BENCH_EXTRACT_X="6",
         PYTHONPATH=REPO,
     )
