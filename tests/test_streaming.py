@@ -52,6 +52,51 @@ def test_harvest_stream_equals_batch_extraction(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_dedup_stream_equals_batch_and_survives_restart(spark):
+    """Streaming exact dedup == batch distinct over the same files;
+    the seen-set lives in the checkpoint, so a second drain over NEW
+    files (containing both fresh docs and duplicates of batch-1 docs)
+    emits only the fresh content — exactly-once dedup across
+    restarts."""
+    from pyspark.sql import Row
+
+    from go_scrapper_spark.streaming.dedup_stream import dedup_batch, dedup_stream
+
+    src = tempfile.mkdtemp(prefix="dedup-src-")
+    ckpt = tempfile.mkdtemp(prefix="dedup-ckpt-")
+    out = tempfile.mkdtemp(prefix="dedup-out-") + "/deduped"
+    try:
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        batch1 = [
+            Row(doc_id=0, ts=t0, text="alpha"),
+            Row(doc_id=1, ts=t0, text="beta"),
+            Row(doc_id=2, ts=t0, text="alpha"),  # in-batch dup
+        ]
+        spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(src)
+        dedup_stream(spark, src, ckpt, out)
+        got1 = {r["content_hash"]: r["text"] for r in spark.read.parquet(out).collect()}
+        exp1 = {r["content_hash"]: r["text"] for r in dedup_batch(spark, src).collect()}
+        assert got1 == exp1 and len(got1) == 2
+
+        # restart drain: one fresh doc + one duplicate of batch 1
+        batch2 = [
+            Row(doc_id=3, ts=t0, text="gamma"),
+            Row(doc_id=4, ts=t0, text="beta"),  # cross-restart dup
+        ]
+        spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(src)
+        dedup_stream(spark, src, ckpt, out)
+        texts2 = sorted(r["text"] for r in spark.read.parquet(out).collect())
+        # beta NOT re-emitted (state recovered from checkpoint): the
+        # sink holds each distinct content exactly once
+        assert texts2 == ["alpha", "beta", "gamma"]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_stream_equals_batch(spark):
     src = tempfile.mkdtemp(prefix="events-src-")
     ckpt = tempfile.mkdtemp(prefix="events-ckpt-")
