@@ -429,6 +429,44 @@ FROM customer
 """
 
 
+def q_sitemap_seeds(spark, sf):
+    """Sitemap frontier seeding: synthesize a two-entry multi-line
+    <urlset> per customer (one entry with lastmod, one with an
+    un-canonical UPPERCASE host + explicit :443 and no lastmod), run
+    the REAL parser (functions/sitemap.py: block-wise extraction +
+    the engine's canonicalizer), compare to the directly-computed
+    expected rows."""
+    from go_scrapper_spark.functions.sitemap import parse_sitemaps
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("string")
+    body = F.concat(
+        F.lit("<urlset>\n<url>\n  <loc>https://host"), k,
+        F.lit(".example/a/"), k, F.lit("</loc>\n  <lastmod>2024-01-0"),
+        (F.col("c_custkey") % 9 + 1).cast("string"),
+        F.lit("</lastmod>\n</url>\n<url><loc>HTTPS://Host"), k,
+        F.lit(".Example:443/b/"), k, F.lit("</loc></url>\n</urlset>"),
+    )
+    raw = c.select(
+        F.concat(F.lit("host"), k, F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    return parse_sitemaps(raw)
+
+
+SQL_SITEMAP_SEEDS = """
+SELECT 'host' || c_custkey || '.example' AS host, 'page' AS kind,
+       'https://host' || c_custkey || '.example/a/' || c_custkey AS url,
+       '2024-01-0' || (c_custkey % 9 + 1) AS lastmod
+FROM customer
+UNION ALL
+SELECT 'host' || c_custkey || '.example' AS host, 'page' AS kind,
+       'https://host' || c_custkey || '.example/b/' || c_custkey AS url,
+       '' AS lastmod
+FROM customer
+"""
+
+
 def q_w1_global_topk(spark, sf):
     """W1 global date-desc sort with deterministic tiebreak, as top-100
     (the reference's sorted result list, main.go:984-1007)."""
@@ -1096,6 +1134,7 @@ QUERIES = {
     "p18_review_hash": (q_p18_review_hash, SQL_P18),
     "p13_canonicalize": (q_canon_urls, SQL_CANON),
     "s9_robots_policy": (q_robots_policy, SQL_ROBOTS_POLICY),
+    "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
