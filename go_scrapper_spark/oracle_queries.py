@@ -467,6 +467,58 @@ FROM customer
 """
 
 
+def q_link_rank(spark, sf):
+    """Frontier prioritization by link structure: integer-exact
+    PageRank-lite over a deterministic directed graph derived from
+    orders (src = customer, dst = orderkey mod 997 — varied in/out
+    degrees, cycles included). The oracle unrolls the same three
+    iterations in SQL, so agreement verifies the iterative plan's
+    fixpoint arithmetic, not one round."""
+    from go_scrapper_spark.operators.linkrank import pagerank_lite
+
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 300)
+    edges = o.select(
+        F.col("o_custkey").alias("src"),
+        F.pmod(F.col("o_orderkey"), F.lit(997)).alias("dst"),
+    ).distinct()
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    return pagerank_lite(verts, edges, iters=3).select(
+        "v", F.col("rank").alias("rank_micro")
+    )
+
+
+def _sql_linkrank(iters: int = 3, damping: int = 850) -> str:
+    base = 1_000_000 - damping * 1000
+    prev = "r0"
+    its = []
+    for i in range(1, iters + 1):
+        its.append(
+            f"""c{i} AS (
+  SELECT e.dst AS v, SUM({prev}.r // deg.d) AS s
+  FROM edges e JOIN {prev} ON {prev}.v = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT verts.v, CAST({base} + ({damping} * COALESCE(c{i}.s, 0)) // 1000 AS BIGINT) AS r
+  FROM verts LEFT JOIN c{i} ON c{i}.v = verts.v)"""
+        )
+        prev = f"r{i}"
+    joined = ",\n".join(its)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % 997 AS dst
+  FROM orders WHERE o_custkey < 300),
+verts AS (SELECT DISTINCT src AS v FROM edges UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM verts),
+{joined}
+SELECT v, r AS rank_micro FROM {prev}
+"""
+
+
 def q_w1_global_topk(spark, sf):
     """W1 global date-desc sort with deterministic tiebreak, as top-100
     (the reference's sorted result list, main.go:984-1007)."""
@@ -1135,6 +1187,7 @@ QUERIES = {
     "p13_canonicalize": (q_canon_urls, SQL_CANON),
     "s9_robots_policy": (q_robots_policy, SQL_ROBOTS_POLICY),
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
+    "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),

@@ -242,6 +242,18 @@ def test_multimodal_real_decoder_is_stubbed():
         multimodal.decode_image_real(b"\x89PNG")
 
 
+def test_pagerank_lite_hand_computed(spark):
+    from go_scrapper_spark.operators.linkrank import pagerank_lite
+
+    # A(1)→B(2), B→A, A→C(3); C dangling. By hand at 850‰ damping:
+    # iter1: A=150k+850k=1_000_000, B=C=150k+850*500k div 1000=575_000
+    # iter2: A=150k+(850*575_000) div 1000=638_750, B=C unchanged
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    edges = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
+    r = {row["v"]: row["rank"] for row in pagerank_lite(verts, edges, iters=2).collect()}
+    assert r == {1: 638_750, 2: 575_000, 3: 575_000}
+
+
 def test_stratified_sample_deterministic_hash(spark):
     import hashlib
 
