@@ -91,6 +91,92 @@ def test_defaults_attached_for_engine_join(parsed):
     assert all(r["max_parallel"] == 10 for r in parsed.values())
 
 
+def _model_parse(body: str) -> tuple[list[str], list[str], int]:
+    """Pure-Python reference of the parser's RFC 9309 subset: returns
+    (allow, disallow, crawl_delay_ms) for the '*' group(s)."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    in_agents = False
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agents:  # a new group begins
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agents = True
+            cur_agents.append(val)
+        else:
+            in_agents = False
+            cur_rules.append((key, val))
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    allow: set[str] = set()
+    disallow: set[str] = set()
+    delay = 3000
+    saw_delay = False
+    for agents, rules in groups:
+        if "*" not in agents:
+            continue
+        for k, v in rules:
+            if k == "allow" and v:
+                allow.add(v)
+            elif k == "disallow" and v:
+                disallow.add(v)
+            elif k == "crawl-delay":
+                try:
+                    ms = round(float(v) * 1000)
+                except ValueError:
+                    continue
+                delay = max(delay if saw_delay else -1, ms)
+                saw_delay = True
+    return sorted(allow), sorted(disallow), delay
+
+
+def test_parser_matches_model_on_generated_bodies(spark):
+    """Property check: randomized robots bodies (shuffled groups,
+    comments, junk lines, UA placement edge cases) parse identically
+    to the pure-Python model — one Spark batch for all cases, seeded
+    so failures reproduce."""
+    import random
+
+    rng = random.Random(42)
+    pool = (
+        [f"User-agent: {a}" for a in ("*", "googlebot", "yandex", "Mozilla")]
+        + [f"Disallow: {p}" for p in ("/a/", "/b", "/private/", "/x y/", "")]
+        + [f"Allow: {p}" for p in ("/a/", "/b", "/private/", "")]
+        + ["Crawl-delay: 2", "Crawl-delay: 0.5", "crawl-delay: 10"]
+        + ["# comment", "", "junk line no colon", "Sitemap: https://x/s.xml",
+           "Disallow: /c/ # trailing comment"]
+    )
+    cases = [
+        "\n".join(rng.choice(pool) for _ in range(rng.randrange(0, 15)))
+        for _ in range(60)
+    ]
+    # include targeted edge cases the fuzz might miss
+    cases += [
+        "Disallow: /before-any-group/\nUser-agent: *\nDisallow: /in-group/",
+        "User-agent: *\nUser-agent: googlebot\nDisallow: /shared/",
+        "User-agent: *\nDisallow: /g1/\nUser-agent: *\nDisallow: /g2/\nCrawl-delay: 7",
+    ]
+    df = spark.createDataFrame(
+        [(f"h{i}", b) for i, b in enumerate(cases)], "host string, body string"
+    )
+    got = {r["host"]: r for r in parse_robots_txt(df).collect()}
+    for i, body in enumerate(cases):
+        allow, disallow, delay = _model_parse(body)
+        r = got[f"h{i}"]
+        assert sorted(r["disallow_prefixes"]) == disallow, body
+        assert r["crawl_delay_ms"] == delay, body
+        exp_allow = allow if allow else ["/"]
+        assert sorted(r["allow_prefixes"]) == exp_allow, body
+
+
 def test_parsed_policy_drives_apply_robots(spark):
     robots = parse_robots_txt(
         spark.createDataFrame([("h1", FULL)], "host string, body string")
