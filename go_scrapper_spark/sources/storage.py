@@ -33,7 +33,10 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("extracted", "fetch_log", "seen", "metrics")
+# delta tables: one slice per snapshot, readers union across snapshots
+# (everything else in a snapshot — frontier, inc_*, seen_bloom — is
+# full state, latest snapshot wins)
+APPEND_TABLES = ("extracted", "fetch_log", "pagetext", "pagemeta", "seen", "metrics")
 
 
 class SnapshotStore:
@@ -133,6 +136,41 @@ class SnapshotStore:
             return None
         dfs = [self.spark.read.parquet(p) for p in paths]
         return reduce(DataFrame.unionByName, dfs)
+
+    def compact(self, dest_dir: str, target_files: int = 8) -> "SnapshotStore":
+        """Rewrite the whole store into ONE snapshot at ``dest_dir`` —
+        the small-file maintenance op (Iceberg's rewrite_data_files +
+        expire_snapshots analog): a long crawl accumulates one delta
+        slice per table per checkpoint, and at 10^10 rows the file
+        count, not the byte count, becomes the read bottleneck.
+
+        The compacted snapshot keeps the SAME wave id, so a resumed
+        run numbers its next superstep identically; append tables are
+        unioned across snapshots and coalesced, full-state tables copy
+        from the latest snapshot. Crash-safe by construction: the
+        destination manifest is written last, so an interrupted
+        compaction leaves an empty (ignorable) destination and the
+        source store untouched. The caller switches directories after
+        success — the pointer swap is deployment's atomic step, as
+        with an Iceberg catalog update."""
+        wave = self.latest_wave()
+        assert wave is not None, "nothing to compact"
+        dest = SnapshotStore(self.spark, dest_dir)
+        tables: dict[str, DataFrame] = {}
+        for name in APPEND_TABLES:
+            df = self.read_appended(name)
+            if df is not None:
+                tables[name] = df.coalesce(target_files)
+        latest_dir = self._snap_dir(wave)
+        for name in sorted(os.listdir(latest_dir)):
+            path = os.path.join(latest_dir, name)
+            if name.startswith("_") or not os.path.isdir(path):
+                continue
+            if name in APPEND_TABLES:
+                continue
+            tables[name] = self.spark.read.parquet(path)
+        dest.commit(wave, tables)
+        return dest
 
     def destroy(self):
         shutil.rmtree(self.base_dir, ignore_errors=True)

@@ -203,6 +203,44 @@ def test_bloom_resume_uses_committed_bloom_table(spark, run):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_compaction_mid_crawl_preserves_resume(spark, run):
+    """Compact a mid-crawl store (2 waves committed) into one snapshot,
+    resume a FRESH engine from the compacted copy: byte-identical final
+    fetch log and frontier vs the model — compaction is invisible to
+    engine semantics, it only collapses the file layout."""
+    _eng, _store, _total, m = run
+    base = tempfile.mkdtemp(prefix="crawl-precompact-")
+    cbase = tempfile.mkdtemp(prefix="crawl-compacted-") + "/store"
+    try:
+        store = SnapshotStore(spark, base)
+        eng = _engine(spark, store)
+        eng.seed(_seeds(spark))
+        eng.run_superstep(1)
+        eng.run_superstep(2)
+        assert len(store.committed_waves()) == 3  # seed + 2 waves
+        compacted = store.compact(cbase)
+        assert compacted.committed_waves() == [2]  # one snapshot, same wave id
+        import glob
+
+        n_before = len(glob.glob(base + "/snap-*/*/*.parquet"))
+        n_after = len(glob.glob(cbase + "/snap-*/*/*.parquet"))
+        assert n_after < n_before  # the point of compaction
+        eng2 = _engine(spark, compacted)
+        eng2.run()
+        assert _engine_log(compacted) == sorted(m["fetch_log"])
+        ef = {
+            r["url"]: (r["state"], r["attempt"])
+            for r in compacted.read_snapshot_table(
+                compacted.latest_wave(), "frontier"
+            ).collect()
+        }
+        mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+        assert ef == mf
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(cbase, ignore_errors=True)
+
+
 def test_resume_after_kill_is_identical(spark, run):
     """Kill after wave 2 → resume → byte-identical final fetch log and
     frontier (wave-id-stamped idempotent commits, SURVEY.md §4.2-5)."""
