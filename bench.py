@@ -193,6 +193,13 @@ def main():
             "ivf_recall_at_3_nprobe8": recall_df(
                 similarity.ivf_topk(emb, k=3, n_queries=5, n_centroids=8, nprobe=8)
             ),
+            # LSH's knob is plane count: fewer planes → bigger buckets
+            # → higher recall at higher candidate cost
+            "lsh_recall_at_3_planes2": recall_df(
+                similarity.lsh_bucketed_neighbors(
+                    emb, k=3, n_queries=5, n_planes=2, dim=64
+                )
+            ),
         }
 
     scaling: dict = {}
