@@ -48,6 +48,42 @@ def norm2_int(a) -> F.Column:
     return dot_int(a, a)
 
 
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the ANN memory-
+    compression stage (4x smaller vectors, dot products in int32):
+    q_i = round-toward-zero(x_i * 127 / maxabs(x)) over milli-unit
+    integers, one scalar row per dimension (array outputs are banned
+    from oracle-gated results).
+
+    Integer-division portability trap, handled explicitly: Spark `div`
+    truncates toward zero while DuckDB `//` floors, so negative
+    components would quantize one step apart. Both sides therefore
+    compute on |x| and reapply the sign — identical on any engine.
+    Output: (vec_id, dim_idx, q, maxabs_milli); maxabs_milli is the
+    per-vector dequantization scale a reader needs."""
+    milli = emb.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("mv")
+    )
+    with_scale = milli.select(
+        "vec_id", "mv",
+        F.array_max(F.transform("mv", lambda x: F.abs(x))).alias("maxabs"),
+    )
+    rows = with_scale.select(
+        "vec_id", "maxabs", F.posexplode("mv").alias("dim_idx", "m")
+    )
+    absq = F.expr("(abs(m) * 127) div maxabs")
+    return rows.select(
+        "vec_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.when(F.col("maxabs") == 0, F.lit(0))
+        .otherwise(F.when(F.col("m") < 0, -absq).otherwise(absq))
+        .cast("long")
+        .alias("q"),
+        F.col("maxabs").cast("long").alias("maxabs_milli"),
+    )
+
+
 def topk_dot(emb: DataFrame, k: int = 3, n_queries: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force top-k by quantized inner product. Queries = the

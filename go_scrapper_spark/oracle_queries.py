@@ -785,6 +785,30 @@ WHERE dot > 0 AND dot*dot*100 >= na*nb*9
 """
 
 
+def q_emb_quantize(spark, sf):
+    """int8 embedding quantization (vec_id < 200 bounds the exploded
+    row count). Sign-decomposed integer division on both engines —
+    Spark `div` truncates, DuckDB `//` floors, so |x| first."""
+    return similarity.quantize_int8(
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    )
+
+
+SQL_EMB_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS mv
+  FROM embeddings WHERE vec_id < 200),
+m AS (SELECT vec_id, mv, list_max(list_transform(mv, x -> abs(x))) AS maxabs FROM v)
+SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim_idx,
+       CAST(CASE WHEN maxabs = 0 THEN 0
+                 WHEN mv[CAST(u.i AS INT)] < 0 THEN -((abs(mv[CAST(u.i AS INT)]) * 127) // maxabs)
+                 ELSE (mv[CAST(u.i AS INT)] * 127) // maxabs END AS BIGINT) AS q,
+       CAST(maxabs AS BIGINT) AS maxabs_milli
+FROM m CROSS JOIN unnest(range(1, 65)) AS u(i)
+"""
+
+
 def q_text_quality(spark, sf):
     return textstats.text_quality(_t(spark, sf, "documents"))
 
@@ -1197,6 +1221,7 @@ QUERIES = {
     "sim_lsh_neighbors": (q_sim_lsh_neighbors, _sql_lsh_neighbors()),
     "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
+    "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

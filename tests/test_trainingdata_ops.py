@@ -242,6 +242,24 @@ def test_multimodal_real_decoder_is_stubbed():
         multimodal.decode_image_real(b"\x89PNG")
 
 
+def test_quantize_int8_symmetric_truncation(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.0, 0.25]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector → all q=0, scale 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["vec_id"], r["dim_idx"]): (r["q"], r["maxabs_milli"])
+           for r in similarity.quantize_int8(df).collect()}
+    # maxabs element maps to ±127; -0.5 → -(500*127 div 1000) = -63
+    # (truncation toward zero on BOTH engines via the |x| decomposition)
+    assert out[(0, 0)] == (127, 1000)
+    assert out[(0, 1)] == (-63, 1000)
+    assert out[(0, 2)] == (0, 1000)
+    assert out[(0, 3)] == (31, 1000)  # 250*127 div 1000 = 31 (31.75 truncated)
+    assert all(out[(1, d)] == (0, 0) for d in range(4))
+    assert all(-127 <= q <= 127 for q, _ in out.values())
+
+
 def test_pagerank_lite_hand_computed(spark):
     from go_scrapper_spark.operators.linkrank import pagerank_lite
 
