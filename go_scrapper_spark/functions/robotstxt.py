@@ -99,7 +99,12 @@ def parse_robots_txt(
                 F.max(
                     F.when(
                         F.col("key") == "crawl-delay",
-                        F.col("val").cast("double") * 1000,
+                        # try_cast, not cast: under ANSI mode (Spark 4
+                        # default) a malformed value like "10s" in ONE
+                        # untrusted robots.txt would otherwise throw
+                        # CAST_INVALID_INPUT and abort the whole parse
+                        # job; NULL falls through to default_delay_ms.
+                        F.col("val").try_cast("double") * 1000,
                     )
                 )
             ).cast("long"),

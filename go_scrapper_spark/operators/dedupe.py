@@ -23,6 +23,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached blocks behind a localCheckpoint'd frame.
+
+    ``Dataset.unpersist()`` is a no-op for checkpoint blocks (they are
+    held by the RDD, not the CacheManager), so iterative algorithms
+    that checkpoint per-round would otherwise accumulate superseded
+    label frames in storage memory until driver GC gets around to
+    them. ``df`` must be the frame localCheckpoint() returned (its
+    analyzed plan is the LogicalRDD holding the rdd); best-effort —
+    a failure just means the block lives until ContextCleaner GC."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: canonical (min) doc id + count."""
@@ -175,8 +191,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)  # materialize ONCE — the pair-generation
     # subtree (LSH joins) must not recompute every iteration
-    labels = vertices.select(F.col("doc"), F.col("doc").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    ckpt = vertices.select(
+        F.col("doc"), F.col("doc").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    labels = ckpt
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym.src == labels.doc)
@@ -192,9 +211,26 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             )
         ).localCheckpoint(eager=True)
         changed = nxt.filter(F.col("_chg")).count()
+        # nxt is materialized, so the previous round's checkpoint
+        # blocks are dead weight — free them now instead of letting
+        # max_iters rounds of labels pile up in storage memory
+        free_local_checkpoint(ckpt)
+        ckpt = nxt
         labels = nxt.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    free_local_checkpoint(sym)
+    if not converged:
+        # silently returning here would hand back WRONG labels for any
+        # component with diameter > max_iters (the DuckDB recursive-CTE
+        # oracle computes exact reachability and would flag it — fail
+        # loudly instead, telling the caller the knob to turn)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations; component diameter exceeds max_iters — raise "
+            "max_iters or switch to the alternating-star variant"
+        )
     return labels
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from go_scrapper_spark.operators.dedupe import free_local_checkpoint
+
 
 def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
                   damping_permille: int = 850) -> DataFrame:
@@ -47,6 +49,7 @@ def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        prev = ranks
         ranks = (
             vertices.join(contrib, vertices.v == contrib.dst, "left")
             .select(
@@ -60,4 +63,6 @@ def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
             )
             .localCheckpoint(eager=True)
         )
+        free_local_checkpoint(prev)  # superseded round's blocks
+    free_local_checkpoint(edges_deg)
     return ranks

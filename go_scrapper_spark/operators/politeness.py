@@ -16,22 +16,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _longest_match_len(prefixes, path):
+    """Length of the longest prefix in ``prefixes`` matching ``path``
+    (0 when none match) — native higher-order functions, codegen'd."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.filter(
+                    F.coalesce(prefixes, F.array()),
+                    lambda p: path.startswith(p),
+                ),
+                F.length,
+            )
+        ),
+        F.lit(0),
+    )
+
+
 def apply_robots(candidates: DataFrame, robots_df: DataFrame) -> DataFrame:
     """candidates must carry ``url`` and ``host``. Inner join = the
     allow-list (unknown hosts are excluded, as colly's AllowedDomains
-    silently drops them); exists() over disallow_prefixes = the robots
-    prefix rule."""
+    silently drops them); RFC 9309 §2.2.2 longest-match precedence
+    between allow_prefixes and disallow_prefixes decides the rest —
+    the most specific (longest) matching rule wins, and on a tie the
+    allow SHOULD win. ``Allow: /public/`` under ``Disallow: /`` admits
+    /public/* and blocks everything else."""
     path = F.parse_url(F.col("url"), F.lit("PATH"))
     return (
         candidates.join(
-            F.broadcast(robots_df.select("host", "disallow_prefixes")), "host", "inner"
+            F.broadcast(
+                robots_df.select("host", "allow_prefixes", "disallow_prefixes")
+            ),
+            "host",
+            "inner",
         )
         .withColumn("_path", path)
         .filter(
-            ~F.exists(
-                F.coalesce(F.col("disallow_prefixes"), F.array()),
-                lambda p: F.col("_path").startswith(p),
-            )
+            _longest_match_len(F.col("allow_prefixes"), F.col("_path"))
+            >= _longest_match_len(F.col("disallow_prefixes"), F.col("_path"))
         )
-        .drop("_path", "disallow_prefixes")
+        .drop("_path", "allow_prefixes", "disallow_prefixes")
     )

@@ -123,6 +123,13 @@ class CrawlEngine:
         self._fail_attempts = _fail_udf(self.cfg.fail_attempts_fn)
         # transient inter-wave state for checkpoint_every > 1
         self._frontier_cache: DataFrame | None = None
+        # superseded frontier checkpoints of the current checkpoint
+        # window: the window's lazily-persisted wave subtrees root their
+        # lineage at these frames, so they must stay alive (spillable
+        # MEMORY_AND_DISK blocks) until _drop_transients — freeing them
+        # eagerly would truncate the recompute path of any evicted
+        # persist block
+        self._frontier_history: list[DataFrame] = []
         self._pending_deltas: dict[str, list[DataFrame]] = {}
         self._pending_metrics: list[tuple] = []
         # persisted wave subtrees awaiting the next snapshot commit
@@ -312,8 +319,14 @@ class CrawlEngine:
         # cost that dominates crawl wall time at sandbox payload).
         # Persisted frames from transient waves stay cached until the
         # next snapshot commit writes them (unpersisted in
-        # _drop_transients); recompute-on-eviction is deterministic, so
-        # semantics never depend on the cache.
+        # _drop_transients). Recompute-on-eviction is deterministic
+        # BECAUSE every frontier checkpoint of the window is kept alive
+        # until _drop_transients (_frontier_history) — these subtrees
+        # root their lineage there. The window is still only as
+        # fault-tolerant as localCheckpoint itself: fine in local mode,
+        # while on a cluster an executor loss inside a window loses
+        # checkpoint blocks and the run restarts from the last snapshot
+        # (which is exactly what the snapshot store is for).
         mat = lambda df: df.persist()  # noqa: E731
 
         # one log row per ATTEMPT (the reference logs each retry):
@@ -453,9 +466,12 @@ class CrawlEngine:
                 "wave_id": wave_id,
                 "attempted": fetch_log.count(),
                 "fetched": 0, "bytes": 0, "reviews": 0, "outlinks": 0,
+                # emit discovered here too so the committed metrics
+                # table carries the same metric rows regardless of
+                # cfg.metrics (the count doubles as the materializer)
+                "discovered": new_rows.count(),
             }
             union.count()
-            new_rows.count()
         self._pending_metrics.extend(
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
         )
@@ -500,10 +516,13 @@ class CrawlEngine:
             self._commit(wave_id, tables)
             self._drop_transients()
         else:
-            # job 4: frontier merge, lineage truncated for the next wave
+            # job 4: frontier merge, lineage truncated for the next wave.
+            # The superseded checkpoint is NOT freed here: this window's
+            # pending persists recompute through it on eviction, so it
+            # lives until the next snapshot commit (_drop_transients).
             new_frontier = frontier_next.localCheckpoint(eager=True)
             if self._frontier_cache is not None:
-                self._frontier_cache.unpersist()
+                self._frontier_history.append(self._frontier_cache)
             self._frontier_cache = new_frontier
         fetched.unpersist()
         stats["pending"] = None  # filled by run()
@@ -513,9 +532,14 @@ class CrawlEngine:
         """Called after each snapshot commit: the accumulated delta
         frames (this checkpoint window's persisted wave subtrees) are
         on disk now, so release their cache."""
+        from go_scrapper_spark.operators.dedupe import free_local_checkpoint
+
         if self._frontier_cache is not None:
-            self._frontier_cache.unpersist()
+            free_local_checkpoint(self._frontier_cache)
             self._frontier_cache = None
+        for df in self._frontier_history:
+            free_local_checkpoint(df)
+        self._frontier_history = []
         for df in self._pending_mats:
             df.unpersist()
         self._pending_mats = []

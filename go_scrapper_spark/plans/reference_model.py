@@ -122,7 +122,17 @@ class ModelCrawl:
         if r is None:
             return False
         path = urlsplit(url).path
-        return not any(path.startswith(p) for p in r["disallow_prefixes"])
+        # RFC 9309 longest-match: most specific rule wins, allow on tie
+        # (mirror of operators/politeness.py apply_robots)
+        allow_len = max(
+            (len(p) for p in r.get("allow_prefixes") or [] if path.startswith(p)),
+            default=0,
+        )
+        disallow_len = max(
+            (len(p) for p in r["disallow_prefixes"] if path.startswith(p)),
+            default=0,
+        )
+        return allow_len >= disallow_len
 
     def _admitted(self, r: dict) -> bool:
         """G3 probe-window admission (mirror of the engine's gated

@@ -151,6 +151,10 @@ def test_parser_matches_model_on_generated_bodies(spark):
         + [f"Disallow: {p}" for p in ("/a/", "/b", "/private/", "/x y/", "")]
         + [f"Allow: {p}" for p in ("/a/", "/b", "/private/", "")]
         + ["Crawl-delay: 2", "Crawl-delay: 0.5", "crawl-delay: 10"]
+        # malformed delays from the untrusted web: must become NULL
+        # (try_cast) and fall through to the default, never abort the
+        # job under ANSI mode
+        + ["Crawl-delay: 10s", "Crawl-delay: fast", "Crawl-delay:"]
         + ["# comment", "", "junk line no colon", "Sitemap: https://x/s.xml",
            "Disallow: /c/ # trailing comment"]
     )
@@ -191,3 +195,24 @@ def test_parsed_policy_drives_apply_robots(spark):
     )
     kept = [r["url"] for r in apply_robots(cand, robots).collect()]
     assert kept == ["https://h1/public/ok"]  # disallow + allow-list enforced
+
+
+def test_allow_overrides_disallow_longest_match(spark):
+    """RFC 9309 §2.2.2: the most specific (longest) matching rule wins,
+    and allow wins ties — 'Allow: /public/' under 'Disallow: /' admits
+    /public/* while everything else stays blocked."""
+    body = "User-agent: *\nAllow: /public/\nDisallow: /\nDisallow: /public/private/"
+    robots = parse_robots_txt(
+        spark.createDataFrame([("h1", body)], "host string, body string")
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h1/public/ok", "h1"),        # allow(8) > disallow(1)
+            ("https://h1/public/", "h1"),          # tie(8): allow wins
+            ("https://h1/other", "h1"),            # disallow(1) > allow(0)
+            ("https://h1/public/private/x", "h1"), # disallow(16) > allow(8)
+        ],
+        "url string, host string",
+    )
+    kept = sorted(r["url"] for r in apply_robots(cand, robots).collect())
+    assert kept == ["https://h1/public/", "https://h1/public/ok"]
