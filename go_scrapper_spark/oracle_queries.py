@@ -736,25 +736,35 @@ WHERE rank <= 3
 
 def q_sim_lsh_neighbors(spark, sf):
     return similarity.lsh_bucketed_neighbors(
-        _t(spark, sf, "embeddings"), k=3, n_queries=5, n_planes=4, dim=64
+        _t(spark, sf, "embeddings"), k=3, n_queries=5, n_planes=4, dim=64,
+        n_tables=8,
     )
 
 
-def _sql_lsh_neighbors(n_planes: int = 4) -> str:
-    projs = ",\n         ".join(
-        f"CASE WHEN list_sum(list_transform(range(1, 65), "
-        f"i -> qv[i] * (({p}*7 + (i-1)*13) % 5 - 2))) > 0 THEN {2**p} ELSE 0 END AS p{p}"
-        for p in range(n_planes)
-    )
-    bsum = " + ".join(f"p{p}" for p in range(n_planes))
+def _sql_lsh_neighbors(n_planes: int = 4, n_tables: int = 8) -> str:
+    """DuckDB twin of the multi-table (OR-amplified) LSH: one bucket
+    per (vector, table) with table-seeded plane weights, candidates =
+    union of per-table bucket joins, deduped by the same max-aggregate."""
+    per_table = []
+    for t in range(n_tables):
+        projs = " + ".join(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> qv[i] * ((({t}*7919 + {p}*104729 + (i-1)*97) * 2654435761) "
+            f"% 999983 % 7 - 3))) > 0 "
+            f"THEN {2**p} ELSE 0 END"
+            for p in range(n_planes)
+        )
+        per_table.append(f"SELECT vec_id, qv, {t} AS tbl, ({projs}) AS bucket FROM v0")
+    v_union = "\n      UNION ALL\n      ".join(per_table)
     return f"""
 WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
             FROM embeddings),
-v AS (SELECT vec_id, qv, {bsum} AS bucket FROM (SELECT vec_id, qv, {projs} FROM v0)),
+v AS ({v_union}),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dot
-  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5)
+         CAST(max(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))) AS BIGINT) AS dot
+  FROM v q JOIN v c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+  GROUP BY q.vec_id, c.vec_id)
 SELECT query_id, neighbor_id, dot, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank FROM s)
@@ -1048,12 +1058,14 @@ CROSS JOIN unnest(range(0, length(coalesce(text, ''))//10, 7)) AS u(i)
 
 
 def q_sim_ivf_topk(spark, sf):
+    # nprobe=4 is the measured-good default (recall@3 = 0.933 at the
+    # gate config vs 0.333 at nprobe=2 — BENCH recall curve)
     return similarity.ivf_topk(
-        _t(spark, sf, "embeddings"), k=3, n_queries=5, n_centroids=8, nprobe=2
+        _t(spark, sf, "embeddings"), k=3, n_queries=5, n_centroids=8, nprobe=4
     )
 
 
-def _sql_ivf_topk(k: int = 3, nq: int = 5, c: int = 8, nprobe: int = 2) -> str:
+def _sql_ivf_topk(k: int = 3, nq: int = 5, c: int = 8, nprobe: int = 4) -> str:
     dot = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
