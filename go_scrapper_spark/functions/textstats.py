@@ -8,7 +8,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # function-word list for the density heuristic (the synthetic corpus
@@ -62,17 +62,98 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Per-language function-word profiles: the ~40 highest-frequency
+# function words of each language, from public frequency lists (these
+# are the standard "stopword" sets any NLP toolkit ships). Function
+# words are the classic language-ID signal — they are closed-class,
+# extremely frequent (30-50% of running text), and language-specific.
+# Kept the same length per language so raw hit counts are comparable
+# without normalization; the one curation choice: ambiguous single
+# letters ('a' en/es, 'e' it/pt) are assigned to ONE language only.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "was",
+           "for", "on", "are", "with", "as", "at", "be", "this", "have",
+           "from", "or", "by", "not", "but", "what", "all", "were", "we",
+           "when", "your", "can", "there", "an", "which", "she", "do",
+           "how", "their", "if", "will"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "nicht", "sie", "es",
+           "ein", "eine", "zu", "den", "mit", "auf", "für", "im", "dem",
+           "sich", "des", "war", "wie", "einer", "aber", "aus", "durch",
+           "wenn", "nur", "noch", "nach", "bei", "einem", "über", "auch",
+           "als", "an", "haben", "oder", "vom", "werden"),
+    "fr": ("le", "la", "les", "de", "des", "du", "et", "est", "en", "un",
+           "une", "que", "qui", "dans", "pour", "pas", "sur", "ne", "se",
+           "ce", "il", "elle", "au", "aux", "avec", "son", "ses", "mais",
+           "ou", "où", "donc", "car", "cette", "être", "sont", "nous",
+           "vous", "je", "tu", "y"),
+    "es": ("el", "los", "las", "del", "y", "es", "por", "para", "con",
+           "no", "su", "al", "lo", "como", "más", "pero", "sus", "ya",
+           "o", "este", "sí", "porque", "esta", "entre", "cuando", "muy",
+           "sin", "sobre", "también", "me", "hasta", "hay", "donde",
+           "quien", "desde", "todo", "nos", "durante", "todos", "uno"),
+    "it": ("il", "lo", "i", "gli", "di", "che", "della", "e", "è", "per",
+           "non", "si", "da", "anche", "ma", "più", "se", "questo",
+           "questa", "tra", "fra", "sono", "ha", "hanno", "come", "alla",
+           "nel", "nella", "dei", "delle", "ai", "agli", "loro", "suo",
+           "sua", "essere", "stato", "quando", "dove", "perché"),
+}
+
+
+def lang_profiles_df(spark) -> DataFrame:
+    """The (lang, word) profile table — tiny, broadcast at use sites."""
+    rows = [(lang, w) for lang, ws in LANG_PROFILES.items() for w in ws]
+    return spark.createDataFrame(rows, "lang string, word string")
+
+
+# punctuation stripped before tokenizing (apostrophe too: French
+# elision "l'homme" → "l homme" so the article surfaces as a token)
+LANG_ID_PUNCT = "[.,!?;:()\"']"
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """Function-word-density language guess (n-gram heuristic class).
-    Density is reported in exact permille."""
-    t = F.col(text_col)
-    n_tok = token_count(t)
-    density = F.floor(func_word_count(t) * 1000 / n_tok).cast("long")
-    return docs.select(
+    """Profile-table language ID: integer function-word hit counts per
+    language, argmax wins (ties broken by language code ascending);
+    zero hits anywhere → 'und'. Replaces the round-3 two-word density
+    toy — same codegen'd shape, a real language set.
+
+    Plan shape: punctuation-stripped lowercase tokens explode once, hit
+    the broadcast (lang, word) profile table (200 rows), and aggregate
+    per (doc, lang) — ONE shuffle keyed by doc id regardless of corpus
+    size, then a per-doc argmax window on the ≤5-row groups. At 100 TB
+    the explode dominates and is embarrassingly parallel; the profile
+    join never shuffles."""
+    spark = docs.sparkSession
+    toks = docs.select(
         F.col(id_col),
-        density.alias("func_permille"),
-        F.when(density >= 80, F.lit("en_like")).otherwise(F.lit("other")).alias("lang_guess"),
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.col(text_col), LANG_ID_PUNCT, " ")),
+                r"\s+",
+            )
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    hits = (
+        toks.join(F.broadcast(lang_profiles_df(spark)), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "lang", "score")
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("lang", F.lit("und")).alias("lang_guess"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("lang_score"),
+        )
     )
 
 

@@ -842,14 +842,93 @@ def q_text_lang_id(spark, sf):
     return textstats.lang_id(_t(spark, sf, "documents"))
 
 
-SQL_TEXT_LANG = """
-SELECT doc_id,
-       CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a'))) * 1000
-            / len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS func_permille,
-       CASE WHEN floor(len(list_filter(string_split(text, ' '), w -> w IN ('the','a'))) * 1000
-                 / len(regexp_split_to_array(text, '\\s+'))) >= 80
-            THEN 'en_like' ELSE 'other' END AS lang_guess
-FROM documents
+def _sql_lang_id_body(source_cte: str) -> str:
+    """Shared DuckDB twin of the profile-table lang-ID over any
+    (doc_id, text) source CTE named ``docs``: same punctuation strip,
+    same tokenization, same (lang, word) profile VALUES, same
+    argmax-with-lang-asc tiebreak, 'und' on zero hits."""
+    prof_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in textstats.LANG_PROFILES.items()
+        for w in ws
+    )
+    return f"""
+WITH {source_cte},
+toks AS (
+  SELECT doc_id, t.word
+  FROM docs, unnest(string_split_regex(
+         regexp_replace(lower(text), '[.,!?;:()"'']', ' ', 'g'), '\\s+')) AS t(word)
+  WHERE t.word <> ''),
+hits AS (
+  SELECT doc_id, prof.lang, count(*) AS score
+  FROM toks JOIN (VALUES {prof_rows}) AS prof(lang, word)
+    ON toks.word = prof.word
+  GROUP BY doc_id, prof.lang),
+best AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang) AS rn FROM hits)
+  WHERE rn = 1)
+SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_guess,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS lang_score
+FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id
+"""
+
+
+def _sql_text_lang() -> str:
+    return _sql_lang_id_body("docs AS (SELECT doc_id, text FROM documents)")
+
+
+# Inline multilingual corpus for the detection-quality oracle entry:
+# the parquet documents table is English-ish by construction, so the
+# ≥3-language claim is proven on this fixed literal corpus (same rows
+# built in Spark and as a VALUES clause for DuckDB). The planted label
+# is carried as expected_lang so the green row itself certifies
+# detection, not just cross-engine agreement.
+MULTILINGUAL_CORPUS = [
+    (0, "en", "the cat sat on the mat and it was happy with this house"),
+    (1, "en", "we have all that you can do when your work is done for now"),
+    (2, "de", "der hund ist nicht mit der katze und sie war auf dem tisch"),
+    (3, "de", "ich habe ein buch und eine zeitung aus der stadt für dich"),
+    (4, "fr", "le chien est dans la maison avec une petite chatte et il est là pour nous"),
+    (5, "fr", "je ne sais pas ce que vous avez mais elle est sur le pont"),
+    (6, "es", "el perro es muy grande y la casa es para los gatos que no se van"),
+    (7, "es", "no hay nada mejor que un buen libro para leer cuando hace mucho calor"),
+    (8, "it", "il cane è nella casa e non sono con il gatto che ha più fame"),
+    (9, "it", "questo è il momento di andare perché loro hanno già mangiato tutto"),
+    (10, "und", "zzz qqq xyzzy plugh grault"),
+]
+
+
+def q_lang_id_multilingual(spark, sf):
+    docs = spark.createDataFrame(
+        [(i, t) for i, _lang, t in MULTILINGUAL_CORPUS],
+        "doc_id long, text string",
+    )
+    expected = spark.createDataFrame(
+        [(i, lang) for i, lang, _t in MULTILINGUAL_CORPUS],
+        "doc_id long, expected_lang string",
+    )
+    return textstats.lang_id(docs).join(expected, "doc_id").select(
+        "doc_id", "expected_lang", "lang_guess", "lang_score"
+    )
+
+
+def _sql_lang_id_multilingual() -> str:
+    doc_rows = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')"
+        for i, _lang, t in MULTILINGUAL_CORPUS
+    )
+    exp_rows = ", ".join(
+        f"({i}, '{lang}')" for i, lang, _t in MULTILINGUAL_CORPUS
+    )
+    body = _sql_lang_id_body(
+        f"docs AS (SELECT * FROM (VALUES {doc_rows}) AS d(doc_id, text))"
+    )
+    return f"""
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, e.expected_lang, g.lang_guess, g.lang_score
+FROM ({body}) g
+JOIN (VALUES {exp_rows}) AS e(doc_id, expected_lang) ON g.doc_id = e.doc_id
 """
 
 
@@ -1235,7 +1314,8 @@ QUERIES = {
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG),
+    "text_lang_id": (q_text_lang_id, _sql_text_lang()),
+    "lang_id_multilingual": (q_lang_id_multilingual, _sql_lang_id_multilingual()),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII),

@@ -191,8 +191,25 @@ def test_text_quality_and_langid(docs):
     assert q[0]["n_tokens"] == 9
     assert q[0]["n_func_words"] == 2  # 'the' twice... plus none else in stoplist
     lang = {r["doc_id"]: r for r in textstats.lang_id(docs).collect()}
-    assert lang[4]["lang_guess"] == "en_like"  # function-word salad
-    assert lang[3]["lang_guess"] == "other"
+    assert lang[4]["lang_guess"] == "en"  # function-word salad
+    assert lang[3]["lang_guess"] == "und"  # no function words at all
+    assert lang[3]["lang_score"] == 0
+
+
+def test_lang_id_detects_five_languages(spark):
+    """The profile-table lang-ID must separate all five profile
+    languages on real sentences (the oracle entry
+    ``lang_id_multilingual`` gates the same corpus cross-engine)."""
+    from go_scrapper_spark.oracle_queries import MULTILINGUAL_CORPUS
+
+    df = spark.createDataFrame(
+        [(i, t) for i, _lang, t in MULTILINGUAL_CORPUS],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in textstats.lang_id(df).collect()}
+    for i, expected, _t in MULTILINGUAL_CORPUS:
+        assert got[i] == expected, (i, expected, got[i])
+    assert len(set(lang for _i, lang, _t in MULTILINGUAL_CORPUS)) == 6  # 5 + und
 
 
 def test_fingerprint_stable(docs):
