@@ -80,6 +80,24 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_expected_per_bucket: int = 100_000
     bloom_fpp: float = 0.01
+    # cross-request cookie carry (S10 fidelity; reference
+    # collyfunc.go:48,99-101,161-163): the reference keeps ONE global
+    # []*http.Cookie that every response overwrites with its host's jar
+    # and every subsequent request attaches — cross-host and racy under
+    # its own async collector. The engine models the sane determinized
+    # form: a per-HOST cookie-state table, wave-atomic (all of wave w
+    # attaches the state left by wave w-1; the lexicographically-last
+    # successful response per host in a wave writes that host's next
+    # value). The pure-Python model implements the identical rule, and
+    # fetch-log equivalence with cookies on is the test. Off by default:
+    # fetch_log then keeps its original schema byte-for-byte.
+    cookies: bool = False
+    # live-fetch seam (S3/S4): when set, the fetch stage runs
+    # operators/transport.fetch_with_transport instead of the
+    # pages-table join — everything downstream (status routing, retry
+    # ledger, extraction, cookie carry) is identical between the two
+    # paths. Factory must be picklable; one client per partition.
+    transport_factory: object = None
 
 
 def _fail_udf(fn):
@@ -100,7 +118,7 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        pages_df: DataFrame,
+        pages_df: DataFrame | None,
         robots_df: DataFrame,
         store: SnapshotStore,
         config: CrawlConfig | None = None,
@@ -114,8 +132,12 @@ class CrawlEngine:
         # storage-partitioned-join design (SURVEY.md §4.2-3): the pages
         # table is never re-shuffled per superstep.
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # pages_df may be None when cfg.transport_factory supplies the
+        # fetch stage (live-crawl mode: there is no pages table)
         self.pages = (
             pages_df.select("url", "html").repartition(n_part, "url").persist()
+            if pages_df is not None
+            else None
         )
         self.robots = robots_df.persist()
         self.store = store
@@ -141,6 +163,10 @@ class CrawlEngine:
         # bytes never touch the driver: the membership check cogroups
         # candidates with this table on bucket.
         self._bloom_df: DataFrame | None = None
+        # per-host cookie state (cfg.cookies): (host, cookie) table,
+        # O(hosts), eagerly checkpointed per wave like the bloom table
+        # and committed with each snapshot so a resume carries the jar.
+        self._cookie_df: DataFrame | None = None
         # G3 incremental-crawl state (main.go:563-654): per-task
         # last_review_hashes and probe-window scheduler state. Both are
         # O(task list) — the same driver-side scale as the reference's
@@ -244,6 +270,22 @@ class CrawlEngine:
                 )
             self._bloom_df = bloom_df.localCheckpoint(eager=True)
 
+        if cfg.cookies and self._cookie_df is None:
+            # resume path: reuse the committed jar; fresh start: empty
+            import os
+
+            latest = self.store.latest_wave()
+            snap_ck = (
+                os.path.join(self.store._snap_dir(latest), "cookies")
+                if latest is not None
+                else None
+            )
+            if snap_ck and os.path.exists(snap_ck):
+                ck = self.store.read_snapshot_table(latest, "cookies")
+            else:
+                ck = self.spark.createDataFrame([], "host string, cookie string")
+            self._cookie_df = ck.localCheckpoint(eager=True)
+
         pending = frontier.filter(
             (F.col("state") == "pending") & (F.col("attempt") < cfg.max_attempts)
         )
@@ -287,9 +329,18 @@ class CrawlEngine:
             if cfg.fail_attempts_col is not None
             else self._fail_attempts(F.col("url"))
         )
+        if cfg.transport_factory is not None:
+            from go_scrapper_spark.operators.transport import fetch_with_transport
+
+            fetch_base = fetch_with_transport(
+                wave, cfg.transport_factory, cfg.max_attempts
+            )
+        else:
+            fetch_base = wave.join(self.pages, "url", "left").withColumn(
+                "_fa", fa_expr
+            )
         fetched = (
-            wave.join(self.pages, "url", "left")
-            .withColumn("_fa", fa_expr)
+            fetch_base
             .withColumn(
                 "_succ",
                 F.col("html").isNotNull() & (F.col("_fa") < max_a - F.col("attempt")),
@@ -332,10 +383,20 @@ class CrawlEngine:
         # one log row per ATTEMPT (the reference logs each retry):
         # attempt index i gets 503 while transient, then 200/404
         att_i = F.col("_att")
+        log_src = fetched
+        ck_cols: list = []
+        if cfg.cookies:
+            # every request of this wave attaches the PRE-wave per-host
+            # jar (the state update below happens after this plan is
+            # built, and plans capture their input frames)
+            log_src = fetched.join(
+                F.broadcast(self._cookie_df), "host", "left"
+            )
+            ck_cols = ["cookie"]
         fetch_log = mat(
-            fetched.select(
+            log_src.select(
                 F.lit(wave_id).cast("long").alias("wave_id"),
-                "host", "url", "depth", "seq", "html", "_fa",
+                "host", "url", "depth", "seq", "html", "_fa", *ck_cols,
                 F.explode(
                     F.sequence(
                         F.col("attempt"),
@@ -355,6 +416,7 @@ class CrawlEngine:
                     (att_i >= F.col("_fa")) & F.col("html").isNotNull(),
                     F.length("html"),
                 ).otherwise(F.lit(0)).cast("long").alias("n_bytes"),
+                *ck_cols,
             )
         )
         ok = fetched.filter(F.col("_succ"))
@@ -394,6 +456,44 @@ class CrawlEngine:
             ).localCheckpoint(eager=True)
             self._bloom_df.unpersist()
             self._bloom_df = merged
+
+        if cfg.cookies:
+            # per-host jar update: the lexicographically-LAST successful
+            # response of the wave per host (max (depth, seq, url) — the
+            # wave's within-host issue order) writes the host's next
+            # cookie, a deterministic digest of that final URL (the
+            # model computes the identical rule). O(hosts) state, eager
+            # checkpoint like the bloom table; the superseded frame goes
+            # to the checkpoint graveyard because this wave's pending
+            # fetch_log plan still reads it.
+            from pyspark.sql import Window
+
+            w_last = Window.partitionBy("host").orderBy(
+                F.col("depth").desc(), F.col("seq").desc(), F.col("url").desc()
+            )
+            last = (
+                ok.select("host", "depth", "seq", "url")
+                .withColumn("_rn", F.row_number().over(w_last))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "host",
+                    F.substring(
+                        F.md5(F.concat(F.lit("ck-"), F.col("url")).cast("binary")),
+                        1, 8,
+                    ).alias("cookie"),
+                )
+            )
+            merged_ck = (
+                self._cookie_df.alias("o")
+                .join(last.alias("n"), "host", "full")
+                .select(
+                    "host",
+                    F.coalesce(F.col("n.cookie"), F.col("o.cookie")).alias("cookie"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            self._frontier_history.append(self._cookie_df)
+            self._cookie_df = merged_ck
 
         # frontier merge (MERGE INTO on Iceberg; full-rewrite on parquet
         # store). With in-wave retries a dequeued URL always terminates:
@@ -513,6 +613,9 @@ class CrawlEngine:
             if cfg.use_bloom and self._bloom_df is not None:
                 # bloom table rides the snapshot → resume skips rebuild
                 tables["seen_bloom"] = self._bloom_df
+            if cfg.cookies and self._cookie_df is not None:
+                # cookie jar rides the snapshot → resume carries state
+                tables["cookies"] = self._cookie_df
             self._commit(wave_id, tables)
             self._drop_transients()
         else:

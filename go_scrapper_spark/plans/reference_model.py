@@ -46,7 +46,14 @@ def probe_window_of(url: str) -> int | None:
 class ModelCrawl:
     def __init__(self, web_cfg: sw.WebConfig, max_attempts: int = 5,
                  window_ms: int = 30_000, default_k: int = 10,
-                 last_hashes: dict[int, list[str]] | None = None):
+                 last_hashes: dict[int, list[str]] | None = None,
+                 cookies: bool = False):
+        # per-host cookie jar (mirror of CrawlEngine cfg.cookies): each
+        # wave's requests attach the pre-wave state; the last successful
+        # response per host (by within-host issue order) writes the next
+        # value = md5('ck-' + url)[:8]
+        self.cookies = cookies
+        self.cookie_state: dict[str, str] = {}
         self.web_cfg = web_cfg
         self.max_attempts = max_attempts
         self.pages: dict[str, bytes] = {}
@@ -183,9 +190,12 @@ class ModelCrawl:
                         status = 200
                     else:
                         status = 404
-                    self.fetch_log.append(
-                        (wave_id, r["host"], url, r["depth"], r["seq"], i, status)
-                    )
+                    row = (wave_id, r["host"], url, r["depth"], r["seq"], i, status)
+                    if self.cookies:
+                        # attach the PRE-wave jar (state mutates only at
+                        # the wave boundary below)
+                        row += (self.cookie_state.get(r["host"]),)
+                    self.fetch_log.append(row)
                 r["attempt"] += n_attempts
                 if succ:
                     r["state"] = "fetched"
@@ -209,6 +219,21 @@ class ModelCrawl:
                             candidates[ourl] = key
                 else:
                     r["state"] = "failed"
+            if self.cookies:
+                # wave boundary: last successful response per host (max
+                # within-host issue key) writes the host's next cookie
+                import hashlib
+
+                by_h: dict[str, tuple] = {}
+                for r2 in wave:
+                    if r2["state"] == "fetched":
+                        k2 = (r2["depth"], r2["seq"], r2["url"])
+                        if r2["host"] not in by_h or k2 > by_h[r2["host"]]:
+                            by_h[r2["host"]] = k2
+                for h2, (_d2, _s2, u2) in by_h.items():
+                    self.cookie_state[h2] = hashlib.md5(
+                        ("ck-" + u2).encode()
+                    ).hexdigest()[:8]
             for ourl, (depth, seq, fpo, host) in candidates.items():
                 if ourl in self.frontier:
                     continue

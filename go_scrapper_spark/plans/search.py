@@ -62,9 +62,16 @@ def _extract_candidates(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def resolve_profile_keys(seeds: DataFrame, pages: DataFrame) -> DataFrame:
+def resolve_profile_keys(
+    seeds: DataFrame, pages: DataFrame, match_service_factory=None
+) -> DataFrame:
     """Return the seeds with empty profile_keys resolved (tasks whose
-    search yields no candidates keep '' — NO_SEARCH_RESULTS, F6)."""
+    search yields no candidates keep '' — NO_SEARCH_RESULTS, F6).
+
+    ``match_service_factory`` switches J1/J2 from the in-engine
+    edit-distance argmin to the reference's external match-service POST
+    (S5, main.go:434-468) through operators/transport.match_via_service
+    — same inputs, same (task_id, resolved_key) contract."""
     direct = seeds.filter(F.col("profile_key") != "")
     searchy = seeds.filter(F.col("profile_key") == "")
 
@@ -85,18 +92,27 @@ def resolve_profile_keys(seeds: DataFrame, pages: DataFrame) -> DataFrame:
             F.col("state"), F.lit(" "), F.col("zip"),
         ).alias("t_text"),
     )
-    scored = cands.join(F.broadcast(target), "task_id").withColumn(
-        "score",
-        F.levenshtein("t_name", "cand_name") + F.levenshtein("t_text", "cand_text"),
-    )
-    w = Window.partitionBy("task_id").orderBy(
-        F.col("score").asc(), F.col("cand_url").asc()
-    )
-    winners = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("task_id", F.col("cand_url").alias("resolved_key"))
-    )
+    if match_service_factory is not None:
+        from go_scrapper_spark.operators.transport import match_via_service
+
+        winners = match_via_service(cands, target, match_service_factory)
+        winners = winners.filter(F.col("resolved_key") != "").select(
+            "task_id", "resolved_key"
+        )
+    else:
+        scored = cands.join(F.broadcast(target), "task_id").withColumn(
+            "score",
+            F.levenshtein("t_name", "cand_name")
+            + F.levenshtein("t_text", "cand_text"),
+        )
+        w = Window.partitionBy("task_id").orderBy(
+            F.col("score").asc(), F.col("cand_url").asc()
+        )
+        winners = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("task_id", F.col("cand_url").alias("resolved_key"))
+        )
     resolved = (
         searchy.join(winners, "task_id", "left")
         .withColumn("profile_key", F.coalesce("resolved_key", F.lit("")))

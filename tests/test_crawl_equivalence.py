@@ -271,3 +271,51 @@ def test_resume_after_kill_is_identical(spark, run):
         assert ef == mf
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cookie_carry_matches_model(spark, run):
+    """S10/cookie fidelity (collyfunc.go:48,99-101,161-163): with
+    cfg.cookies on, every request attaches the per-host jar left by the
+    previous wave and the last successful response per host rewrites
+    it. The engine's fetch log (including the cookie column) must match
+    the pure-Python model exactly — across a mid-crawl kill + resume,
+    so the jar provably rides the snapshot."""
+    base = tempfile.mkdtemp(prefix="crawl-cookie-")
+    try:
+        store = SnapshotStore(spark, base)
+        pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+        robots = sw.robots_df(spark, CFG)
+
+        def engine(max_supersteps=1000):
+            return CrawlEngine(
+                spark, pages, robots, store,
+                CrawlConfig(
+                    fail_attempts_col=lambda: sw.fail_attempts_col(CFG),
+                    cookies=True,
+                    max_supersteps=max_supersteps,
+                ),
+            )
+
+        # run two waves, "die", resume with a fresh engine instance
+        eng = engine(max_supersteps=2)
+        eng.run(_seeds(spark))
+        assert store.latest_wave() == 2
+        engine().run()
+
+        model = ModelCrawl(CFG, cookies=True)
+        m = model.run()
+        got = sorted(
+            tuple(r)
+            for r in store.read_appended("fetch_log")
+            .select("wave_id", "host", "url", "depth", "seq", "attempt",
+                    "status", "cookie")
+            .collect()
+        )
+        assert got == sorted(m["fetch_log"])
+        # wave 1 must have attached an EMPTY jar, later waves a real one
+        w1 = [r for r in got if r[0] == 1]
+        assert w1 and all(r[7] is None for r in w1)
+        later = [r for r in got if r[0] > 1 and r[6] == 200]
+        assert later and any(r[7] is not None for r in later)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

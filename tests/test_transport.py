@@ -1,0 +1,153 @@
+"""External-call seams (operators/transport.py): the live-HTTP fetch
+stage and the match-service POST must interchange with the pages-table
+join / in-engine matcher under the IDENTICAL superstep loop. The
+"service" is a local ThreadingHTTPServer running the same synthetic
+web (no network in the sandbox), with transient 503s driven by the
+same fail_attempts_for the model uses — so full fetch-log equivalence
+is the test, not just a smoke."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from go_scrapper_spark.functions.strdist import levenshtein
+from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
+from go_scrapper_spark.plans.reference_model import ModelCrawl
+from go_scrapper_spark.plans.search import resolve_profile_keys
+from go_scrapper_spark.operators.transport import (
+    http_match_service_factory,
+    http_transport_factory,
+)
+from go_scrapper_spark.sources import synthetic_web as sw
+from go_scrapper_spark.sources.storage import SnapshotStore
+
+CFG = sw.WebConfig(n_biz=4)
+
+
+def _make_server():
+    """Local stub: GET /fetch serves the synthetic web (503 while
+    attempt < fail_attempts_for(url), then 200/404); POST /match runs
+    the reference matcher (levenshtein argmin, URL tie-break)."""
+    pages: dict[str, bytes] = {}
+    for biz in range(CFG.n_biz):
+        for url, _ts, body, _t, _l in sw.pages_for_biz(CFG, biz):
+            pages[url] = body
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            url = self.headers.get("X-Orig-Url", "")
+            attempt = int(self.headers.get("X-Attempt", "0"))
+            if attempt < sw.fail_attempts_for(CFG, url):
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = pages.get(url)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(n).decode())
+            cands = payload["candidates"]
+            winner = ""
+            if cands:
+                best = min(
+                    cands,
+                    key=lambda c: (
+                        levenshtein(payload["name"], c["cand_name"])
+                        + levenshtein(payload["text"], c["cand_text"]),
+                        c["cand_url"],
+                    ),
+                )
+                winner = best["cand_url"]
+            out = json.dumps({"winner": winner}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture(scope="module")
+def stub():
+    srv, base = _make_server()
+    yield base
+    srv.shutdown()
+
+
+def test_http_transport_crawl_matches_model(spark, stub):
+    """The full superstep loop over the HTTP transport (pages_df=None,
+    failures emulated by server-side 503s) reproduces the model's exact
+    fetch log and final frontier — the pages-join and the live fetcher
+    are interchangeable."""
+    base = tempfile.mkdtemp(prefix="crawl-transport-")
+    try:
+        store = SnapshotStore(spark, base)
+        eng = CrawlEngine(
+            spark,
+            None,  # no pages table: the transport IS the web
+            sw.robots_df(spark, CFG),
+            store,
+            CrawlConfig(transport_factory=http_transport_factory(stub)),
+        )
+        pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+        eng.run(resolve_profile_keys(sw.seeds_df(spark, CFG), pages))
+
+        m = ModelCrawl(CFG).run()
+        got = sorted(
+            tuple(r)
+            for r in store.read_appended("fetch_log")
+            .select("wave_id", "host", "url", "depth", "seq", "attempt", "status")
+            .collect()
+        )
+        assert got == sorted(m["fetch_log"])
+        ef = {
+            r["url"]: (r["state"], r["attempt"])
+            for r in store.read_snapshot_table(
+                store.latest_wave(), "frontier"
+            ).collect()
+        }
+        mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+        assert ef == mf
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_match_service_equals_in_engine_matcher(spark, stub):
+    """S5 POST variant: resolving through the external service yields
+    the same profile keys as the in-engine argmin (the stub implements
+    the reference's matcher; both sides see identical candidates)."""
+    pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+    seeds = sw.seeds_df(spark, CFG)
+    in_engine = {
+        r["task_id"]: r["profile_key"]
+        for r in resolve_profile_keys(seeds, pages).collect()
+    }
+    via_service = {
+        r["task_id"]: r["profile_key"]
+        for r in resolve_profile_keys(
+            seeds, pages, match_service_factory=http_match_service_factory(stub)
+        ).collect()
+    }
+    assert via_service == in_engine
+    assert any(v for v in in_engine.values())  # non-degenerate
