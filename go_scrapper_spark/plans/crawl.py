@@ -525,12 +525,42 @@ class CrawlEngine:
             F.lit(wave_id).cast("long").alias("wave_id"),
         )
 
+        # Materialize the wave's persisted chain LINEARLY before any
+        # multi-branch job touches it: new_rows → union → fetched is one
+        # lineage, so a single action fills all three caches at full
+        # parallelism with zero contention. Without this, the metrics
+        # crossJoin's branches race on the shared uncached persists and
+        # tasks stall on each other's cache-block locks — measured at
+        # 16c/n_biz=24k as ~4x total executor-time inflation versus the
+        # 4-core run of the SAME job (the round-3 "fold everything into
+        # one action" layout was right for the 6k-payload driver floor
+        # and wrong for wave-dominated payloads). On TRANSIENT waves the
+        # frontier localCheckpoint doubles as the materializer (its
+        # heavy branch IS that lineage), so the wave still costs exactly
+        # two driver actions; commit waves warm the caches with one
+        # count() for the concurrent table writers.
+        maybe_ckpt = (
+            cfg.checkpoint_every <= 1
+            or wave_id % cfg.checkpoint_every == 0
+            or wave_id >= cfg.max_supersteps
+        )
+        new_frontier: DataFrame | None = None
+        if maybe_ckpt:
+            new_rows.count()
+        else:
+            # lineage truncated for the next wave. The superseded
+            # checkpoint is NOT freed here: this window's pending
+            # persists recompute through it on eviction, so it lives
+            # until the next snapshot commit (_drop_transients).
+            new_frontier = frontier_next.localCheckpoint(eager=True)
+            if self._frontier_cache is not None:
+                self._frontier_history.append(self._frontier_cache)
+            self._frontier_cache = new_frontier
+
         if cfg.metrics:
-            # ONE micro-job over the already-materialized checkpoints:
-            # crossJoin of the two 1-row aggregates collapses the former
-            # two collect round-trips into a single action (per-wave
-            # fixed cost is the crawl headline's bottleneck at small
-            # payload — every driver round-trip counts)
+            # micro-job over the now-warm caches: crossJoin of the
+            # 1-row aggregates collapses the remaining collect
+            # round-trips into a single action
             row = (
                 fetch_log.agg(
                     F.count("*").alias("attempted"),
@@ -543,9 +573,6 @@ class CrawlEngine:
                         F.count(F.when(F.col("kind") == "outlink", 1)).alias("outlinks"),
                     )
                 )
-                # folding new_rows in materializes the third persisted
-                # subtree inside the same action, so the commit's
-                # concurrent table writers never race to compute it
                 .crossJoin(new_rows.agg(F.count("*").alias("discovered")))
                 .collect()[0]
             )
@@ -559,19 +586,18 @@ class CrawlEngine:
                 "discovered": row["discovered"],
             }
         else:
-            # no-metrics path: still materialize each persisted subtree
-            # at full parallelism before any coalesced write collapses
-            # its task count
+            # no-metrics path: fetch_log is the one subtree the linear
+            # materialization above does not cover (it branches off
+            # fetched, now cached); new_rows is a cached scan
             stats = {
                 "wave_id": wave_id,
                 "attempted": fetch_log.count(),
                 "fetched": 0, "bytes": 0, "reviews": 0, "outlinks": 0,
-                # emit discovered here too so the committed metrics
-                # table carries the same metric rows regardless of
-                # cfg.metrics (the count doubles as the materializer)
+                # discovered emitted on both paths so the committed
+                # metrics table carries the same rows regardless of
+                # cfg.metrics
                 "discovered": new_rows.count(),
             }
-            union.count()
         self._pending_metrics.extend(
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
         )
@@ -591,16 +617,18 @@ class CrawlEngine:
         if self._inc_state:
             # G3 window-boundary bookkeeping, BEFORE the commit so the
             # snapshot carries the post-wave scheduler state
-            self._update_inc_state(union, frontier_next)
+            self._update_inc_state(
+                union,
+                new_frontier if new_frontier is not None else frontier_next,
+            )
 
-        is_checkpoint = (
-            cfg.checkpoint_every <= 1
-            or wave_id % cfg.checkpoint_every == 0
-            or stats["attempted"] == 0
-            or wave_id >= cfg.max_supersteps
-        )
+        is_checkpoint = maybe_ckpt or stats["attempted"] == 0
         if is_checkpoint:
-            tables = {"frontier": frontier_next}
+            tables = {
+                "frontier": new_frontier
+                if new_frontier is not None
+                else frontier_next
+            }
             for name, dfs in self._pending_deltas.items():
                 acc = dfs[0]
                 for nxt in dfs[1:]:
@@ -618,15 +646,6 @@ class CrawlEngine:
                 tables["cookies"] = self._cookie_df
             self._commit(wave_id, tables)
             self._drop_transients()
-        else:
-            # job 4: frontier merge, lineage truncated for the next wave.
-            # The superseded checkpoint is NOT freed here: this window's
-            # pending persists recompute through it on eviction, so it
-            # lives until the next snapshot commit (_drop_transients).
-            new_frontier = frontier_next.localCheckpoint(eager=True)
-            if self._frontier_cache is not None:
-                self._frontier_history.append(self._frontier_cache)
-            self._frontier_cache = new_frontier
         fetched.unpersist()
         stats["pending"] = None  # filled by run()
         return stats
@@ -691,13 +710,28 @@ class CrawlEngine:
             .withColumn("host", _host_col(F.col("url")))
         )
         cand = apply_robots(cand, self.robots)
-        # in-wave dedup: first discovery wins (min (depth, seq) per url)
+        # in-wave dedup: first discovery wins (min (depth, seq, fpo) per
+        # url). The lexicographic key is PACKED into one BIGINT —
+        # min(struct) forces a SortAggregate (sort per shuffle partition
+        # + interpreted struct comparisons; profiled at ~90 s executor
+        # time per 750k-outlink wave), while min(bigint) is a codegen'd
+        # HashAggregate with map-side partial aggregation. Bounds that
+        # make the packing exact: depth < 2^17, seq < 2^44 (task_seq
+        # below ~1.76M at the 10^7 stride), fpo ∈ {0,1} — pack =
+        # (depth·2^45 + seq)·2 + fpo < 2^63 preserves the exact order.
+        pack = (
+            F.col("depth").cast("long") * F.lit(1 << 45)
+            + F.col("seq")
+        ) * 2 + F.col("fpo")
+        rest = F.expr("_p div 2")
         cand = (
             cand.groupBy("url", "host")
-            .agg(F.min(F.struct("depth", "seq", "fpo")).alias("_ds"))
+            .agg(F.min(pack).alias("_p"))
             .select(
-                "url", "host", F.col("_ds.depth").alias("depth"),
-                F.col("_ds.seq").alias("seq"), F.col("_ds.fpo").alias("fpo"),
+                "url", "host",
+                F.expr(f"(_p div 2) div {1 << 45}").cast("int").alias("depth"),
+                (rest % F.lit(1 << 45)).alias("seq"),
+                (F.col("_p") % 2).cast("int").alias("fpo"),
             )
         )
         # cross-superstep dedup (exact J3): with use_bloom, the
