@@ -188,11 +188,23 @@ class CrawlEngine:
         CLI payload — O(config), not O(data)) and FirstPageOnly is
         ignored for them, mirroring the reference's else-if priority
         (main.go:563-571)."""
+        # seeds are read twice (incremental-hash collect + frontier
+        # build); without the persist the whole upstream pipeline — for
+        # search-resolved seeds that is the search fetch join plus the
+        # candidate extraction — evaluates twice
+        seeds_df = seeds_df.persist()
         self._inc_hashes = {}
-        for r in seeds_df.select("seq", "last_review_hashes").collect():
-            hashes = r["last_review_hashes"]
-            if hashes:
-                self._inc_hashes[int(r["seq"])] = tuple(hashes)
+        # filter server-side: only incremental tasks reach the driver
+        # (a 10^5-task batch with no hashes collects ZERO rows, not all)
+        inc_rows = (
+            seeds_df.select("seq", "last_review_hashes")
+            .filter(
+                F.size(F.coalesce(F.col("last_review_hashes"), F.array())) > 0
+            )
+            .collect()
+        )
+        for r in inc_rows:
+            self._inc_hashes[int(r["seq"])] = tuple(r["last_review_hashes"])
         self._inc_state = {
             tk: {"unlocked": 0, "done": False, "started": False,
                  "hit": False, "n_reviews": 0}
@@ -232,6 +244,7 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("wave_id"),
         )
         self._commit(0, {"frontier": frontier, "seen": seen, **self._inc_tables()})
+        seeds_df.unpersist()
 
     # --------------------------------------------------------------- superstep
 
@@ -336,9 +349,14 @@ class CrawlEngine:
                 wave, cfg.transport_factory, cfg.max_attempts
             )
         else:
-            fetch_base = wave.join(self.pages, "url", "left").withColumn(
-                "_fa", fa_expr
-            )
+            # shuffle_hash: pages is pre-partitioned on url (zero
+            # exchange on that side, the storage-partitioned-join
+            # analogue) and the wave side shuffles its politeness-capped
+            # rows. Without the hint AQE broadcasts the wave side —
+            # a serial driver build of up to ~10^5 rows per wave.
+            fetch_base = wave.join(
+                self.pages.hint("shuffle_hash"), "url", "left"
+            ).withColumn("_fa", fa_expr)
         fetched = (
             fetch_base
             .withColumn(
@@ -746,7 +764,17 @@ class CrawlEngine:
                 cand, frontier.select("url_hash"), self._bloom_df, cfg.n_buckets
             )
         else:
-            cand = cand.join(frontier.select("url"), "url", "left_anti")
+            # shuffle_hash hint, NOT broadcast: the frontier side is
+            # hundreds of thousands of URLs within a wave and 10^10 at
+            # the design scale — AQE happily broadcasts anything under
+            # the 64 MB threshold, and that broadcast BUILD is a
+            # single-threaded driver collect measured at 13-28 s per
+            # wave (the dominant serial term in the 4c→16c scaling gap).
+            # A shuffled hash anti-join is fully parallel on both sides
+            # and is the only shape that survives the design scale.
+            cand = cand.join(
+                frontier.select("url").hint("shuffle_hash"), "url", "left_anti"
+            )
         return cand.select(
             "url",
             F.xxhash64("url").alias("url_hash"),
