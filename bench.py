@@ -34,6 +34,27 @@ import time
 
 from pyspark.sql import functions as F
 
+_PAGES_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def ensure_pages_parquet(spark, cfg) -> str:
+    """Deterministic synthetic-web corpus, generated ONCE per config
+    and shared across sessions as parquet on tmpfs. The generator is a
+    Python mapInPandas — regenerating the corpus inside every
+    low-core-count scaling leg would both dominate the leg's wall time
+    (~4.5 min at 2 cores for 48k businesses) and inject generation
+    noise into the measurement; a parquet reload is seconds and
+    parallel."""
+    from go_scrapper_spark.sources import synthetic_web as sw
+
+    key = f"{cfg.n_biz}_{cfg.n_hosts}_{cfg.max_reviews}_{cfg.max_nonrec}_{cfg.text_words}"
+    path = os.path.join(_PAGES_ROOT, f"bench_pages_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        sw.generate_pages_df(spark, cfg, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
 
 def crawl_bench(spark, n_biz: int, max_parallel: int = 2000) -> dict:
     from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
@@ -53,7 +74,7 @@ def crawl_bench(spark, n_biz: int, max_parallel: int = 2000) -> dict:
     )
     # fixed task count regardless of core count: the scaling comparison
     # (tools/scaling_bench.py) must queue identical work at both sizes
-    pages = sw.generate_pages_df(spark, cfg, n_partitions=64).persist()
+    pages = spark.read.parquet(ensure_pages_parquet(spark, cfg)).persist()
     n_pages = pages.count()  # materialize the synthetic web before timing
 
     # snapshot store on tmpfs when available: the bench measures engine
@@ -101,7 +122,7 @@ def extract_bench(spark, n_biz: int) -> dict:
 
     cfg = sw.WebConfig(n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
                        text_words=int(os.environ.get("BENCH_TEXT_WORDS", "40")))
-    pages = sw.generate_pages_df(spark, cfg, n_partitions=64).persist()
+    pages = spark.read.parquet(ensure_pages_parquet(spark, cfg)).persist()
     n_pages = pages.count()
     mult = int(os.environ.get("BENCH_EXTRACT_X", "3"))
     fetched = pages.select(
@@ -295,6 +316,20 @@ def main():
         # max-estimator efficiency looks steal-corrupted we take up to
         # two extra interleaved pairs — and report EVERY raw sample so
         # the estimator is auditable.
+        # pre-generate the crawl-scaling corpus at full parallelism so
+        # no low-core leg pays the Python generation cost
+        from go_scrapper_spark.sources import synthetic_web as sw
+
+        _cs_biz = int(os.environ.get("BENCH_SCALE_CRAWL_N_BIZ", "48000"))
+        ensure_pages_parquet(
+            spark,
+            sw.WebConfig(
+                n_biz=_cs_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
+                max_parallel=int(os.environ.get("BENCH_SCALE_CRAWL_PARALLEL", "20000")),
+                crawl_delay_ms=1,
+                text_words=int(os.environ.get("BENCH_TEXT_WORDS", "40")),
+            ),
+        )
         spark.stop()
         samples4: list[float] = []
         samples16: list[float] = []
