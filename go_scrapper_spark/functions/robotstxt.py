@@ -39,6 +39,47 @@ DEFAULT_CRAWL_DELAY_MS = 3000  # colly LimitRule Delay 3s (collyfunc.go:115-119)
 DEFAULT_MAX_PARALLEL = 10      # colly Parallelism (collyfunc.go:179)
 
 
+def robots_sitemaps(
+    robots_bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """(host, body) → (host, sitemap_url): the ``Sitemap:`` directives
+    of each robots.txt. Per RFC 9309 §2.3 / sitemaps.org these lines
+    live OUTSIDE user-agent groups and apply globally, so this is a
+    plain line filter — no group window needed. Values must be
+    absolute URLs; relative values are dropped (the spec requires
+    absolute). Feeds functions/sitemap.py's urlset/sitemapindex
+    ingestion: robots → sitemap URLs → fetch → seed frontier, the
+    standard crawl bootstrapping chain the reference lacks entirely
+    (it ignores robots.txt, collyfunc.go:68).
+
+    Scale shape: one codegen'd projection + a distinct (single
+    shuffle); 10^7 hosts parse as one plan."""
+    lines = robots_bodies.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
+    )
+    key = F.lower(F.trim(F.substring_index("line", ":", 1)))
+    val = F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+    return (
+        lines.filter(F.col("line").contains(":"))
+        .select("host", key.alias("key"), val.alias("sitemap_url"))
+        .filter(
+            (F.col("key") == "sitemap")
+            & (
+                F.col("sitemap_url").startswith("http://")
+                | F.col("sitemap_url").startswith("https://")
+            )
+        )
+        .select("host", "sitemap_url")
+        .distinct()
+    )
+
+
 def parse_robots_txt(
     robots_bodies: DataFrame,
     host_col: str = "host",

@@ -1173,6 +1173,122 @@ WHERE rank <= {k}
 """
 
 
+# Inline robots corpus for the sitemap-discovery oracle: multiple
+# Sitemap lines, duplicates, comments, case variants, a relative value
+# (must drop — the spec requires absolute), and a host with none.
+ROBOTS_SITEMAP_CORPUS = [
+    ("h1", ["User-agent: *", "Disallow: /x/",
+            "Sitemap: https://h1/sitemap.xml",
+            "sitemap: https://h1/sitemap2.xml  # comment",
+            "Sitemap: https://h1/sitemap.xml"]),
+    ("h2", ["SITEMAP: http://h2/s.xml", "Sitemap: /relative/s.xml"]),
+    ("h3", ["User-agent: *", "Disallow:"]),
+]
+
+
+def q_robots_sitemap_discovery(spark, sf):
+    from go_scrapper_spark.functions.robotstxt import robots_sitemaps
+
+    df = spark.createDataFrame(
+        [(h, "\n".join(lines)) for h, lines in ROBOTS_SITEMAP_CORPUS],
+        "host string, body string",
+    )
+    return robots_sitemaps(df)
+
+
+def _sql_robots_sitemaps() -> str:
+    rows = ", ".join(
+        "('" + h + "', " + " || chr(10) || ".join(
+            "'" + ln.replace("'", "''") + "'" for ln in lines
+        ) + ")"
+        for h, lines in ROBOTS_SITEMAP_CORPUS
+    )
+    return f"""
+WITH b AS (SELECT * FROM (VALUES {rows}) AS v(host, body)),
+l AS (
+  SELECT host, trim(regexp_replace(t.line, '#.*', '')) AS line
+  FROM b, unnest(string_split(body, chr(10))) AS t(line)),
+s AS (
+  SELECT host,
+         lower(trim(split_part(line, ':', 1))) AS key,
+         trim(substring(line, instr(line, ':') + 1)) AS sitemap_url
+  FROM l WHERE instr(line, ':') > 0)
+SELECT DISTINCT host, sitemap_url FROM s
+WHERE key = 'sitemap'
+  AND (sitemap_url LIKE 'http://%' OR sitemap_url LIKE 'https://%')
+"""
+
+
+def _hex(s: bytes) -> str:
+    return s.hex().upper()
+
+
+# Inline binary corpus for the content-sniff oracle: one row per magic
+# signature plus the heuristic/fallback/empty cases. Payloads are hex
+# literals so both engines build identical bytes.
+CONTENT_SNIFF_CORPUS = [
+    (0, _hex(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)),
+    (1, _hex(b"\xff\xd8\xff\xe0" + b"\x00" * 8)),
+    (2, _hex(b"GIF87a" + b"\x00" * 6)),
+    (3, _hex(b"GIF89a" + b"\x00" * 6)),
+    (4, _hex(b"%PDF-1.7\n%\xe2\xe3")),
+    (5, _hex(b"PK\x03\x04" + b"\x00" * 8)),
+    (6, _hex(b"\x1f\x8b\x08\x00" + b"\x00" * 8)),
+    (7, _hex(b"RIFF\x24\x00\x00\x00WAVE")),
+    (8, _hex(b"OggS" + b"\x00" * 8)),
+    (9, _hex(b"fLaC" + b"\x00" * 8)),
+    (10, _hex(b"\x00\x00\x00\x18ftypmp42")),
+    (11, _hex(b"WARC/1.0\r\nWARC")),
+    (12, _hex(b"<!DOCTYPE html>")),
+    (13, _hex(b"<html><head></he")),
+    (14, _hex(b"hello world, pla")),
+    (15, _hex(b"\xfe\xed\xfa\xce\x00\x01\x02\x03")),
+    (16, ""),
+]
+
+
+def q_mm_content_sniff(spark, sf):
+    from go_scrapper_spark.functions.contentsniff import sniff_content_types
+
+    df = spark.createDataFrame(
+        CONTENT_SNIFF_CORPUS, "doc_id long, hx string"
+    ).select("doc_id", F.unhex("hx").alias("payload"))
+    return sniff_content_types(df)
+
+
+def _sql_content_sniff() -> str:
+    """DuckDB twin sniffs the HEX STRING directly — an independent
+    re-derivation of the same magic table (first 12 bytes = first 24
+    hex chars), which is exactly what an oracle should be."""
+    rows = ", ".join(f"({i}, '{hx}')" for i, hx in CONTENT_SNIFF_CORPUS)
+    return f"""
+WITH v AS (SELECT doc_id, upper(hx) AS hx FROM (VALUES {rows}) AS t(doc_id, hx)),
+p AS (SELECT doc_id, hx, substring(hx, 1, 24) AS h24 FROM v)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE
+    WHEN hx = '' THEN 'empty'
+    WHEN h24 LIKE '89504E47%' THEN 'image/png'
+    WHEN h24 LIKE 'FFD8FF%' THEN 'image/jpeg'
+    WHEN h24 LIKE '474946383761%' OR h24 LIKE '474946383961%' THEN 'image/gif'
+    WHEN h24 LIKE '25504446%' THEN 'application/pdf'
+    WHEN h24 LIKE '504B0304%' THEN 'application/zip'
+    WHEN h24 LIKE '1F8B%' THEN 'application/gzip'
+    WHEN h24 LIKE '52494646%' THEN 'audio/riff'
+    WHEN h24 LIKE '4F676753%' THEN 'audio/ogg'
+    WHEN h24 LIKE '664C6143%' THEN 'audio/flac'
+    WHEN substring(hx, 9, 8) = '66747970' THEN 'video/mp4'
+    WHEN h24 LIKE '574152432F%' THEN 'application/warc'
+    WHEN h24 LIKE '3C21444F43545950%' OR h24 LIKE '3C21646F63747970%'
+      OR h24 LIKE '3C68746D6C%' OR h24 LIKE '3C48544D4C%' THEN 'text/html'
+    WHEN regexp_matches(h24, '^(0[9AD]|[2-6][0-9A-F]|7[0-9A-E])+$')
+      THEN 'text/plain'
+    ELSE 'application/octet-stream'
+  END AS content_type,
+  CAST(length(hx) / 2 AS BIGINT) AS n_bytes
+FROM p
+"""
+
+
 def q_sessionize_events(spark, sf):
     """Sessionization (gaps-and-islands, 30-min inactivity gap) over
     the events table — the batch twin of the applyInPandasWithState
@@ -1302,6 +1418,8 @@ QUERIES = {
     "p13_canonicalize": (q_canon_urls, SQL_CANON),
     "s9_robots_policy": (q_robots_policy, SQL_ROBOTS_POLICY),
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
+    "robots_sitemap_discovery": (q_robots_sitemap_discovery, _sql_robots_sitemaps()),
+    "mm_content_sniff": (q_mm_content_sniff, _sql_content_sniff()),
     "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),

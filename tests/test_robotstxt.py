@@ -216,3 +216,23 @@ def test_allow_overrides_disallow_longest_match(spark):
     )
     kept = sorted(r["url"] for r in apply_robots(cand, robots).collect())
     assert kept == ["https://h1/public/", "https://h1/public/ok"]
+
+
+def test_robots_sitemaps_discovery(spark):
+    """Sitemap: directives live outside groups, dedupe, honor case-
+    insensitive keys, strip comments, and drop relative URLs (the
+    spec requires absolute)."""
+    from go_scrapper_spark.functions.robotstxt import robots_sitemaps
+
+    body1 = "User-agent: *\nSitemap: https://h1/a.xml\nsitemap: https://h1/b.xml # c\nSitemap: https://h1/a.xml"
+    body2 = "SITEMAP: http://h2/s.xml\nSitemap: /relative.xml"
+    df = spark.createDataFrame(
+        [("h1", body1), ("h2", body2), ("h3", "User-agent: *\nDisallow: /")],
+        "host string, body string",
+    )
+    got = sorted((r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect())
+    assert got == [
+        ("h1", "https://h1/a.xml"),
+        ("h1", "https://h1/b.xml"),
+        ("h2", "http://h2/s.xml"),
+    ]

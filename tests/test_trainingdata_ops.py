@@ -343,3 +343,26 @@ def test_pii_scrub_counts_and_hash(spark):
     expected = hashlib.md5(b"mail me at <EMAIL> or <EMAIL> today").hexdigest()
     assert out[0]["scrubbed_md5"] == expected
     assert out[1]["scrubbed_md5"] == hashlib.md5(b"call <PHONE> now").hexdigest()
+
+
+def test_content_sniffing_magic_bytes(spark):
+    """Magic-byte sniffing routes every signature class correctly and
+    falls back printable→text/plain, other→octet-stream (the oracle
+    entry mm_content_sniff gates the same corpus cross-engine)."""
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.functions.contentsniff import sniff_content_types
+    from go_scrapper_spark.oracle_queries import CONTENT_SNIFF_CORPUS
+
+    df = spark.createDataFrame(
+        CONTENT_SNIFF_CORPUS, "doc_id long, hx string"
+    ).select("doc_id", F.unhex("hx").alias("payload"))
+    got = {r["doc_id"]: r["content_type"] for r in sniff_content_types(df).collect()}
+    expected = {
+        0: "image/png", 1: "image/jpeg", 2: "image/gif", 3: "image/gif",
+        4: "application/pdf", 5: "application/zip", 6: "application/gzip",
+        7: "audio/riff", 8: "audio/ogg", 9: "audio/flac", 10: "video/mp4",
+        11: "application/warc", 12: "text/html", 13: "text/html",
+        14: "text/plain", 15: "application/octet-stream", 16: "empty",
+    }
+    assert got == expected
