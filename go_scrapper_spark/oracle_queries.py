@@ -1289,6 +1289,144 @@ FROM p
 """
 
 
+# WARC parsing oracle: ground truth BY CONSTRUCTION — the expected
+# rows are the record specs handed to the (parser-independent) WARC
+# writer, so the distributed parse must recover exactly what went in.
+# Edge cases: an HTML body containing \r\n\r\n (Content-Length must
+# govern, not delimiter search), a 404 with an empty body, a request
+# record, a metadata record, and a zero-length payload.
+_WARC_SPECS = [
+    # (file_id, rec_id, warc_type, uri, date, status, ctype, body)
+    (0, "<urn:a:1>", "response", "https://h1/page1",
+     "2024-01-02T03:04:05Z", 200, "text/html",
+     b"<html>head\r\n\r\nbody with a blank line</html>"),
+    (0, "<urn:a:2>", "response", "https://h1/missing",
+     "2024-01-02T03:04:06Z", 404, "text/plain", b""),
+    (0, "<urn:a:3>", "request", "https://h1/page1",
+     "2024-01-02T03:04:05Z", None, None, None),
+    (1, "<urn:b:1>", "response", "https://h2/p",
+     "2024-02-02T00:00:00Z", 200, "text/html", b"<html>two</html>"),
+    (1, "<urn:b:2>", "metadata", "https://h2/p",
+     "2024-02-02T00:00:01Z", None, None, None),
+    (1, "<urn:b:3>", "response", "https://h2/empty",
+     "2024-02-02T00:00:02Z", 200, "text/html", b""),
+]
+
+_WARC_FIXTURE = "/tmp/gss_expected_warc_parse_v1.parquet"
+
+
+def _warc_blobs():
+    from go_scrapper_spark.sources import warc as w
+
+    files: dict[int, list[dict]] = {}
+    for fid, rid, wtype, uri, date, status, ctype, body in _WARC_SPECS:
+        if wtype == "response":
+            payload = w.http_response(body, status=status, content_type=ctype)
+        elif wtype == "request":
+            payload = b"GET /page1 HTTP/1.1\r\nHost: h1\r\n\r\n"
+        else:
+            payload = b"via: synthetic"
+        files.setdefault(fid, []).append({
+            "headers": {
+                "WARC-Type": wtype,
+                "WARC-Target-URI": uri,
+                "WARC-Date": date,
+                "WARC-Record-ID": rid,
+            },
+            "payload": payload,
+        })
+    from go_scrapper_spark.sources.warc import build_warc
+
+    return [(fid, build_warc(recs)) for fid, recs in sorted(files.items())]
+
+
+def _ensure_warc_fixture() -> str:
+    import hashlib
+    import os
+
+    if os.path.exists(_WARC_FIXTURE):
+        return _WARC_FIXTURE
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_scrapper_spark.sources import warc as w
+
+    rows = {k: [] for k in (
+        "file_id", "record_id", "warc_type", "target_uri", "warc_date",
+        "content_length", "http_status", "http_content_type", "body_md5",
+        "body_len",
+    )}
+    for fid, rid, wtype, uri, date, status, ctype, body in _WARC_SPECS:
+        if wtype == "response":
+            payload_len = len(w.http_response(body, status=status,
+                                              content_type=ctype))
+        elif wtype == "request":
+            payload_len = len(b"GET /page1 HTTP/1.1\r\nHost: h1\r\n\r\n")
+        else:
+            payload_len = len(b"via: synthetic")
+        rows["file_id"].append(fid)
+        rows["record_id"].append(rid)
+        rows["warc_type"].append(wtype)
+        rows["target_uri"].append(uri)
+        rows["warc_date"].append(date)
+        rows["content_length"].append(payload_len)
+        # sentinels, not NULLs, for the nullable columns: a nullable
+        # BIGINT degrades to float64 through pandas and breaks the
+        # dtype-class compare (the HUGEINT gotcha's cousin)
+        rows["http_status"].append(status if status is not None else -1)
+        rows["http_content_type"].append(ctype if ctype is not None else "")
+        rows["body_md5"].append(
+            hashlib.md5(body).hexdigest() if body is not None else ""
+        )
+        rows["body_len"].append(len(body) if body is not None else -1)
+    table = pa.table({
+        "file_id": pa.array(rows["file_id"], pa.int64()),
+        "record_id": pa.array(rows["record_id"], pa.string()),
+        "warc_type": pa.array(rows["warc_type"], pa.string()),
+        "target_uri": pa.array(rows["target_uri"], pa.string()),
+        "warc_date": pa.array(rows["warc_date"], pa.string()),
+        "content_length": pa.array(rows["content_length"], pa.int64()),
+        "http_status": pa.array(rows["http_status"], pa.int32()),
+        "http_content_type": pa.array(rows["http_content_type"], pa.string()),
+        "body_md5": pa.array(rows["body_md5"], pa.string()),
+        "body_len": pa.array(rows["body_len"], pa.int64()),
+    })
+    tmp = _WARC_FIXTURE + ".tmp"
+    pq.write_table(table, tmp)
+    import os as _os
+
+    _os.replace(tmp, _WARC_FIXTURE)
+    return _WARC_FIXTURE
+
+
+def q_warc_parse(spark, sf):
+    from go_scrapper_spark.sources.warc import parse_warc
+
+    df = spark.createDataFrame(
+        [(fid, bytearray(blob)) for fid, blob in _warc_blobs()],
+        "file_id long, warc binary",
+    )
+    return parse_warc(df).select(
+        "file_id", "record_id", "warc_type", "target_uri", "warc_date",
+        "content_length",
+        F.coalesce("http_status", F.lit(-1)).cast("int").alias("http_status"),
+        F.coalesce("http_content_type", F.lit("")).alias("http_content_type"),
+        F.coalesce(F.md5("body"), F.lit("")).alias("body_md5"),
+        F.coalesce(F.length("body"), F.lit(-1)).cast("long").alias("body_len"),
+    )
+
+
+def _sql_warc_parse() -> str:
+    _ensure_warc_fixture()
+    return f"""
+SELECT CAST(file_id AS BIGINT) AS file_id, record_id, warc_type, target_uri,
+       warc_date, CAST(content_length AS BIGINT) AS content_length,
+       CAST(http_status AS INT) AS http_status, http_content_type,
+       body_md5, CAST(body_len AS BIGINT) AS body_len
+FROM '{_WARC_FIXTURE}'
+"""
+
+
 def q_sessionize_events(spark, sf):
     """Sessionization (gaps-and-islands, 30-min inactivity gap) over
     the events table — the batch twin of the applyInPandasWithState
@@ -1420,6 +1558,7 @@ QUERIES = {
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "robots_sitemap_discovery": (q_robots_sitemap_discovery, _sql_robots_sitemaps()),
     "mm_content_sniff": (q_mm_content_sniff, _sql_content_sniff()),
+    "warc_parse": (q_warc_parse, _sql_warc_parse()),
     "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),

@@ -1,0 +1,181 @@
+"""WARC (ISO 28500) record parsing → the engine's pages table.
+
+The north star frames the input as "Common-Crawl-style pages"
+(BASELINE.json input_hint: ``url, warc_ts, html, text, lang``), and
+Common Crawl ships as WARC files. This module closes that last step: a
+user points ``warc_to_pages`` at a table of raw WARC blobs (one row
+per .warc file, e.g. from ``spark.read.format('binaryFile')``) and
+gets exactly the pages table the crawl/extract pipeline consumes —
+``text``/``lang`` are downstream products of the extract + lang-ID
+stages, not inputs.
+
+Layout parsed (the subset every WARC reader honors):
+    WARC/1.0\r\n
+    <Name>: <value>\r\n ...            (case-insensitive names)
+    \r\n
+    <Content-Length bytes of payload>
+    \r\n\r\n                           (record separator)
+``Content-Length`` governs the payload extent — a payload containing
+``\r\n\r\n`` (every HTML page) must NOT terminate the record early.
+For ``WARC-Type: response`` records the payload is an HTTP message;
+the status line, Content-Type header, and body are split out.
+
+Scale shape: files are independent → ``mapInPandas`` with one Python
+parser per Arrow batch; a 100 TB WARC corpus parses as one
+embarrassingly parallel stage partitioned by file, no shuffle at all
+(the standard Common-Crawl access pattern). Per-record Python cost is
+one memoryview scan; bodies are never copied more than once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+
+
+def build_warc(records: list[dict]) -> bytes:
+    """Serialize records (dicts with ``headers: dict`` and
+    ``payload: bytes``) to WARC bytes. Independent of the parser —
+    round-trip identity is a real test, not a tautology."""
+    out = bytearray()
+    for r in records:
+        out += b"WARC/1.0" + CRLF
+        for k, v in r["headers"].items():
+            out += f"{k}: {v}".encode() + CRLF
+        payload = r["payload"]
+        out += f"Content-Length: {len(payload)}".encode() + CRLF
+        out += CRLF
+        out += payload
+        out += CRLF + CRLF
+    return bytes(out)
+
+
+def http_response(body: bytes, status: int = 200,
+                  content_type: str = "text/html") -> bytes:
+    """Minimal HTTP/1.1 response payload for a WARC response record."""
+    reason = {200: "OK", 404: "Not Found", 503: "Service Unavailable"}.get(
+        status, "Status"
+    )
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def split_warc_records(blob: bytes) -> list[dict]:
+    """Pure-Python record splitter (the executor kernel; also directly
+    unit-tested). Returns one dict per record with lowercase header
+    keys, the raw payload, and the split HTTP fields for responses."""
+    records: list[dict] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record padding
+        while blob.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        head_end = blob.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            break  # truncated trailer
+        head = blob[pos:head_end].decode("utf-8", "replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break  # not a record boundary: stop rather than guess
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" not in ln:
+                continue
+            k, _, v = ln.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get("content-length", "0"))
+        body_start = head_end + 4
+        payload = blob[body_start:body_start + clen]
+        pos = body_start + clen
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_length": clen,
+            "payload": payload,
+            "http_status": None,
+            "http_content_type": None,
+            "body": None,
+        }
+        if rec["warc_type"] == "response" and payload[:5] == b"HTTP/":
+            hend = payload.find(CRLF + CRLF)
+            hend = hend if hend >= 0 else len(payload)
+            hlines = payload[:hend].decode("utf-8", "replace").split("\r\n")
+            parts = hlines[0].split(" ")
+            rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            for ln in hlines[1:]:
+                if ln.lower().startswith("content-type:"):
+                    rec["http_content_type"] = ln.partition(":")[2].strip()
+            rec["body"] = payload[hend + 4:] if hend + 4 <= len(payload) else b""
+        records.append(rec)
+    return records
+
+
+WARC_SCHEMA = (
+    "file_id long, warc_type string, target_uri string, warc_date string, "
+    "record_id string, content_length long, http_status int, "
+    "http_content_type string, body binary"
+)
+
+
+def parse_warc(files_df: DataFrame, id_col: str = "file_id",
+               bin_col: str = "warc") -> DataFrame:
+    """(file_id, warc binary) → one row per WARC record."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for fid, blob in zip(pdf[id_col], pdf[bin_col]):
+                for r in split_warc_records(bytes(blob)):
+                    rows.append({
+                        "file_id": int(fid),
+                        "warc_type": r["warc_type"],
+                        "target_uri": r["target_uri"],
+                        "warc_date": r["warc_date"],
+                        "record_id": r["record_id"],
+                        "content_length": r["content_length"],
+                        "http_status": r["http_status"],
+                        "http_content_type": r["http_content_type"],
+                        "body": r["body"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id", "warc_type", "target_uri", "warc_date",
+                    "record_id", "content_length", "http_status",
+                    "http_content_type", "body",
+                ],
+            )
+
+    return files_df.select(id_col, bin_col).mapInPandas(gen, WARC_SCHEMA)
+
+
+def warc_to_pages(files_df: DataFrame, id_col: str = "file_id",
+                  bin_col: str = "warc") -> DataFrame:
+    """WARC blobs → the engine's pages-table shape
+    (url, warc_ts, html): response records with a 200 status only —
+    exactly what CrawlEngine/extract consume."""
+    recs = parse_warc(files_df, id_col, bin_col)
+    return (
+        recs.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select(
+            F.col("target_uri").alias("url"),
+            F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
+            F.col("body").alias("html"),
+        )
+    )

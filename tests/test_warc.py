@@ -1,0 +1,107 @@
+"""WARC source (sources/warc.py): record splitting honors
+Content-Length (not delimiter search), responses split their HTTP
+envelope, the writer/parser round-trip is identity, and WARC-derived
+pages feed the extract pipeline byte-identically to the native pages
+table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.sources import synthetic_web as sw
+from go_scrapper_spark.sources import warc as w
+
+
+def test_split_records_content_length_governs():
+    body = b"<html>a\r\n\r\nblank line inside</html>"
+    blob = w.build_warc([
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://h/x",
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Record-ID": "<urn:1>",
+            },
+            "payload": w.http_response(body),
+        },
+        {
+            "headers": {"WARC-Type": "request",
+                        "WARC-Target-URI": "https://h/x"},
+            "payload": b"GET /x HTTP/1.1\r\n\r\n",
+        },
+    ])
+    recs = w.split_warc_records(blob)
+    assert len(recs) == 2  # the in-body blank line must NOT split
+    assert recs[0]["warc_type"] == "response"
+    assert recs[0]["http_status"] == 200
+    assert recs[0]["http_content_type"] == "text/html"
+    assert recs[0]["body"] == body
+    assert recs[1]["warc_type"] == "request"
+    assert recs[1]["body"] is None
+
+
+def test_roundtrip_identity():
+    specs = [
+        (f"https://h/{i}", f"<urn:{i}>", f"<html>page {i}</html>".encode())
+        for i in range(5)
+    ]
+    blob = w.build_warc([
+        {
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": uri,
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Record-ID": rid,
+            },
+            "payload": w.http_response(body),
+        }
+        for uri, rid, body in specs
+    ])
+    recs = w.split_warc_records(blob)
+    assert [(r["target_uri"], r["record_id"], r["body"]) for r in recs] == specs
+
+
+def test_warc_to_pages_feeds_extract_identically(spark):
+    """Pages loaded through WARC must drive the extraction pipeline to
+    the exact same rows as the native pages table — WARC is a drop-in
+    input format for the engine."""
+    from go_scrapper_spark.functions.extract import extract_pages
+
+    cfg = sw.WebConfig(n_biz=3)
+    native_rows = []
+    warc_records = []
+    for biz in range(cfg.n_biz):
+        for url, ts, body, _t, _l in sw.pages_for_biz(cfg, biz):
+            native_rows.append((url, bytearray(body)))
+            warc_records.append({
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": url,
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Record-ID": f"<urn:{len(warc_records)}>",
+                },
+                "payload": w.http_response(body),
+            })
+    # two WARC files, records split across them
+    half = len(warc_records) // 2
+    files = spark.createDataFrame(
+        [(0, bytearray(w.build_warc(warc_records[:half]))),
+         (1, bytearray(w.build_warc(warc_records[half:])))],
+        "file_id long, warc binary",
+    )
+    pages = w.warc_to_pages(files)
+    assert pages.filter(F.col("warc_ts").isNull()).count() == 0
+
+    def extract_rows(pages_df):
+        fetched = pages_df.select(
+            "url", "html", F.lit(0).alias("depth"),
+            F.lit(0).cast("long").alias("seq"), F.lit(0).alias("fpo"),
+        )
+        return sorted(
+            (r["url"], r["kind"], r["text"] or "", r["review_hash"] or "")
+            for r in extract_pages(fetched).collect()
+        )
+
+    native = spark.createDataFrame(native_rows, "url string, html binary")
+    assert extract_rows(pages) == extract_rows(native)
