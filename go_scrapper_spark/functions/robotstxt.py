@@ -21,9 +21,12 @@ RFC 9309):
 - comments (#...) stripped; blank/unknown lines ignored; keys are
   case-insensitive; an empty ``Disallow:`` value (= allow all) is
   dropped rather than kept as a '' prefix that would match everything.
-- hosts with no ``*`` group get the permissive default (allow /,
-  disallow nothing) — per RFC 9309 §2.2.1, no applicable group means
-  no restrictions.
+- hosts with no ``*`` group get the permissive default (no allow
+  rules, no disallow rules) — per RFC 9309 §2.2.1, no applicable
+  group means no restrictions. Allow rules are never synthesized:
+  a fabricated ``Allow: /`` would tie (and beat, via allow-wins-on-
+  tie) a real ``Disallow: /``, turning a block-all robots.txt into
+  an allow-all one.
 
 ``max_parallel`` is not a robots.txt concept: the engine default (the
 reference's colly Parallelism 10, collyfunc.go:179) is attached here
@@ -159,13 +162,18 @@ def parse_robots_txt(
         all_hosts.join(policies, "host", "left")
         .select(
             "host",
-            # a star group with no Allow lines allows everything not
-            # disallowed — normalize both that and the no-group case
-            # to the explicit ["/"] form the engine's tables use
-            F.when(
-                F.coalesce(F.size("allow_prefixes"), F.lit(0)) > 0,
-                F.col("allow_prefixes"),
-            ).otherwise(F.array(F.lit("/"))).alias("allow_prefixes"),
+            # NO synthetic Allow rules: when a star group has no Allow
+            # lines (or the host has no star group at all) the array
+            # stays EMPTY. RFC 9309's allow-wins-on-tie applies to
+            # actual rules only — synthesizing ["/"] here would tie a
+            # real ``Disallow: /`` at length 1 and admit the whole host
+            # (a block-all robots.txt would be fully crawled). The
+            # permissive default is already implied downstream:
+            # apply_robots admits when no disallow prefix matches
+            # (allow_len 0 >= disallow_len 0).
+            F.coalesce(
+                "allow_prefixes", F.array().cast("array<string>")
+            ).alias("allow_prefixes"),
             F.coalesce(
                 "disallow_prefixes", F.array().cast("array<string>")
             ).alias("disallow_prefixes"),

@@ -39,11 +39,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-# transport protocol: factory() -> fetch; fetch(url, attempt) ->
-# (fa, body) where fa = the absolute index of the first non-503
-# attempt (the retry ledger's fail-attempt count) and body = page
-# bytes on 200, None on 404/exhaustion.
-TransportFactory = Callable[[], Callable[[str, int], tuple[int, bytes | None]]]
+# transport protocol: factory() -> fetch; fetch(url, attempt,
+# max_attempts) -> (fa, body) where fa = the absolute index of the
+# first non-503 attempt (the retry ledger's fail-attempt count) and
+# body = page bytes on 200, None on 404/exhaustion. max_attempts is
+# the ENGINE's budget (cfg.max_attempts), threaded per call — the
+# transport must never issue a request with attempt index >=
+# max_attempts, so the wire traffic always respects the budget the
+# frontier accounting assumes.
+TransportFactory = Callable[
+    [], Callable[[str, int, int], tuple[int, bytes | None]]
+]
 
 
 def fetch_with_transport(
@@ -70,7 +76,7 @@ def fetch_with_transport(
             htmls: list = []
             fas: list = []
             for url, att in zip(pdf["url"], pdf["attempt"]):
-                fa, body = fetch(str(url), int(att))
+                fa, body = fetch(str(url), int(att), max_attempts)
                 htmls.append(body)
                 fas.append(int(fa))
             yield pdf.assign(
@@ -82,20 +88,25 @@ def fetch_with_transport(
 
 
 def http_transport_factory(
-    base_url: str, max_attempts: int = 5, timeout_sec: float = 200.0
+    base_url: str, timeout_sec: float = 200.0
 ) -> TransportFactory:
     """A urllib transport for a gateway that serves arbitrary URLs:
     GET {base_url}/fetch with the target in ``X-Orig-Url`` and the
     attempt index in ``X-Attempt`` (the local stub uses the attempt
     header to emulate transient 503s deterministically; a production
     gateway ignores it). 200 → body; 503 → retry in-wave; anything
-    else → miss. The 200 s timeout mirrors collyfunc.go:122."""
+    else → miss. The 200 s timeout mirrors collyfunc.go:122. The
+    attempt budget is NOT baked in here — the engine threads
+    cfg.max_attempts through every fetch call, so wire attempts can
+    never exceed what the frontier accounting assumes."""
 
     def factory():
         import urllib.error
         import urllib.request
 
-        def fetch(url: str, attempt: int) -> tuple[int, bytes | None]:
+        def fetch(
+            url: str, attempt: int, max_attempts: int
+        ) -> tuple[int, bytes | None]:
             for i in range(attempt, max_attempts):
                 req = urllib.request.Request(
                     base_url + "/fetch",

@@ -737,10 +737,31 @@ class CrawlEngine:
         # make the packing exact: depth < 2^17, seq < 2^44 (task_seq
         # below ~1.76M at the 10^7 stride), fpo ∈ {0,1} — pack =
         # (depth·2^45 + seq)·2 + fpo < 2^63 preserves the exact order.
-        pack = (
-            F.col("depth").cast("long") * F.lit(1 << 45)
-            + F.col("seq")
-        ) * 2 + F.col("fpo")
+        # guard the packing bounds (round-5 ADVICE): a deeper crawl or
+        # a larger seq stride must FAIL LOUDLY, never silently corrupt
+        # the min-ordering (wrong canonical discovery). One codegen'd
+        # branch per row; raise_error aborts the wave with the
+        # offending values in the message.
+        in_bounds = (
+            (F.col("depth") >= 0) & (F.col("depth") < F.lit(1 << 17))
+            & (F.col("seq") >= 0) & (F.col("seq") < F.lit(1 << 44))
+            & F.col("fpo").isin(0, 1)
+        )
+        pack = F.when(
+            in_bounds,
+            (F.col("depth").cast("long") * F.lit(1 << 45) + F.col("seq")) * 2
+            + F.col("fpo"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("frontier pack overflow: depth="),
+                    F.col("depth").cast("string"),
+                    F.lit(" seq="), F.col("seq").cast("string"),
+                    F.lit(" fpo="), F.col("fpo").cast("string"),
+                    F.lit(" (bounds: depth<2^17, seq<2^44, fpo in {0,1})"),
+                )
+            ).cast("long")
+        )
         rest = F.expr("_p div 2")
         cand = (
             cand.groupBy("url", "host")

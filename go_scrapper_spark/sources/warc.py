@@ -95,7 +95,15 @@ def split_warc_records(blob: bytes) -> list[dict]:
                 continue
             k, _, v = ln.partition(":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get("content-length", "0"))
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError:
+            # untrusted bytes: a malformed Content-Length means the
+            # payload extent is unknowable — stop advancing (same as
+            # the non-WARC/ boundary check) so one corrupt record in a
+            # 100 TB corpus degrades to dropped tail records in THIS
+            # file, never a failed job.
+            break
         body_start = head_end + 4
         payload = blob[body_start:body_start + clen]
         pos = body_start + clen
@@ -115,7 +123,12 @@ def split_warc_records(blob: bytes) -> list[dict]:
             hend = hend if hend >= 0 else len(payload)
             hlines = payload[:hend].decode("utf-8", "replace").split("\r\n")
             parts = hlines[0].split(" ")
-            rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            try:
+                # non-numeric status (malformed origin server): null the
+                # field, keep the record — never abort the parse job
+                rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            except ValueError:
+                rec["http_status"] = None
             for ln in hlines[1:]:
                 if ln.lower().startswith("content-type:"):
                     rec["http_content_type"] = ln.partition(":")[2].strip()

@@ -72,7 +72,9 @@ def test_consecutive_ua_lines_share_one_group(parsed):
 
 def test_no_star_group_is_permissive(parsed):
     r = parsed["h3"]
-    assert r["allow_prefixes"] == ["/"]
+    # no synthetic Allow rules: permissive = BOTH arrays empty (a
+    # fabricated '/' would tie-beat a real 'Disallow: /' downstream)
+    assert r["allow_prefixes"] == []
     assert r["disallow_prefixes"] == []
     assert r["crawl_delay_ms"] == 3000  # engine default (colly 3 s)
 
@@ -177,8 +179,7 @@ def test_parser_matches_model_on_generated_bodies(spark):
         r = got[f"h{i}"]
         assert sorted(r["disallow_prefixes"]) == disallow, body
         assert r["crawl_delay_ms"] == delay, body
-        exp_allow = allow if allow else ["/"]
-        assert sorted(r["allow_prefixes"]) == exp_allow, body
+        assert sorted(r["allow_prefixes"]) == allow, body
 
 
 def test_parsed_policy_drives_apply_robots(spark):
@@ -216,6 +217,23 @@ def test_allow_overrides_disallow_longest_match(spark):
     )
     kept = sorted(r["url"] for r in apply_robots(cand, robots).collect())
     assert kept == ["https://h1/public/", "https://h1/public/ok"]
+
+
+def test_block_all_robots_blocks_everything(spark):
+    """Regression (round-5 ADVICE): 'User-agent: *' + 'Disallow: /'
+    with NO Allow lines must block the entire host. The parser used to
+    synthesize allow_prefixes=['/'] for allow-less groups; under
+    longest-match that synthetic rule tied the real 'Disallow: /' and
+    allow-wins-on-tie admitted every URL."""
+    body = "User-agent: *\nDisallow: /"
+    robots = parse_robots_txt(
+        spark.createDataFrame([("h1", body)], "host string, body string")
+    )
+    cand = spark.createDataFrame(
+        [("https://h1/", "h1"), ("https://h1/any/page", "h1")],
+        "url string, host string",
+    )
+    assert apply_robots(cand, robots).count() == 0
 
 
 def test_robots_sitemaps_discovery(spark):

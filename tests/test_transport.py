@@ -30,14 +30,15 @@ from go_scrapper_spark.sources.storage import SnapshotStore
 CFG = sw.WebConfig(n_biz=4)
 
 
-def _make_server():
+def _make_server(cfg=CFG):
     """Local stub: GET /fetch serves the synthetic web (503 while
     attempt < fail_attempts_for(url), then 200/404); POST /match runs
     the reference matcher (levenshtein argmin, URL tie-break)."""
     pages: dict[str, bytes] = {}
-    for biz in range(CFG.n_biz):
-        for url, _ts, body, _t, _l in sw.pages_for_biz(CFG, biz):
+    for biz in range(cfg.n_biz):
+        for url, _ts, body, _t, _l in sw.pages_for_biz(cfg, biz):
             pages[url] = body
+    attempts_log: list[int] = []  # every X-Attempt seen on the wire
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -46,7 +47,8 @@ def _make_server():
         def do_GET(self):
             url = self.headers.get("X-Orig-Url", "")
             attempt = int(self.headers.get("X-Attempt", "0"))
-            if attempt < sw.fail_attempts_for(CFG, url):
+            attempts_log.append(attempt)
+            if attempt < sw.fail_attempts_for(cfg, url):
                 self.send_response(503)
                 self.end_headers()
                 return
@@ -83,6 +85,7 @@ def _make_server():
             self.wfile.write(out)
 
     srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    srv.attempts_log = attempts_log
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, f"http://127.0.0.1:{srv.server_address[1]}"
@@ -131,6 +134,48 @@ def test_http_transport_crawl_matches_model(spark, stub):
         assert ef == mf
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_engine_budget_bounds_wire_attempts(spark):
+    """cfg.max_attempts != the old factory default (round-5 ADVICE:
+    fetch_with_transport's max_attempts was dead code, so a baked-in
+    factory budget governed the wire). With max_attempts=2 and flaky
+    URLs needing 2 transient failures, the crawl must (a) reproduce
+    the model's fetch log at the same budget and (b) never put an
+    attempt index >= 2 on the wire."""
+    # n_biz=12 is the smallest corpus with flaky URLs (3 of 65 pages
+    # need 2 transient retries) — CFG's 23 pages have none, which would
+    # leave the retry path unexercised.
+    cfg12 = sw.WebConfig(n_biz=12)
+    srv, base = _make_server(cfg12)
+    tmp = tempfile.mkdtemp(prefix="crawl-budget-")
+    try:
+        store = SnapshotStore(spark, tmp)
+        eng = CrawlEngine(
+            spark,
+            None,
+            sw.robots_df(spark, cfg12),
+            store,
+            CrawlConfig(
+                transport_factory=http_transport_factory(base), max_attempts=2
+            ),
+        )
+        pages = sw.generate_pages_df(spark, cfg12, n_partitions=4)
+        eng.run(resolve_profile_keys(sw.seeds_df(spark, cfg12), pages))
+
+        m = ModelCrawl(cfg12, max_attempts=2).run()
+        got = sorted(
+            tuple(r)
+            for r in store.read_appended("fetch_log")
+            .select("wave_id", "host", "url", "depth", "seq", "attempt", "status")
+            .collect()
+        )
+        assert got == sorted(m["fetch_log"])
+        assert srv.attempts_log, "stub saw no traffic"
+        assert max(srv.attempts_log) == 1  # retries happened, budget held
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        srv.shutdown()
 
 
 def test_match_service_equals_in_engine_matcher(spark, stub):

@@ -105,3 +105,50 @@ def test_warc_to_pages_feeds_extract_identically(spark):
 
     native = spark.createDataFrame(native_rows, "url string, html binary")
     assert extract_rows(pages) == extract_rows(native)
+
+
+def _rec(uri: str, body: bytes = b"<html>x</html>", status: int = 200) -> dict:
+    return {
+        "headers": {
+            "WARC-Type": "response",
+            "WARC-Target-URI": uri,
+            "WARC-Date": "2024-01-01T00:00:00Z",
+        },
+        "payload": w.http_response(body, status=status),
+    }
+
+
+def test_malformed_content_length_drops_tail_not_job():
+    """Round-5 ADVICE: a corrupt Content-Length makes the payload
+    extent unknowable — the splitter must stop at that record (drop it
+    and the unreachable tail) instead of raising ValueError and killing
+    the mapInPandas job."""
+    good = w.build_warc([_rec("https://a/1")])
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a/2\r\nContent-Length: banana\r\n\r\n"
+        b"junk\r\n\r\n"
+    )
+    tail = w.build_warc([_rec("https://a/3")])
+    recs = w.split_warc_records(good + bad + tail)
+    # the good head parses; the corrupt record and its tail are dropped
+    assert [r["target_uri"] for r in recs] == ["https://a/1"]
+
+
+def test_malformed_http_status_nulls_field_keeps_record():
+    """A non-numeric HTTP status line nulls http_status (the record
+    survives, later records still parse) — one bad origin server in a
+    100 TB corpus is a dropped row, not a failed job."""
+    bad_status = {
+        "headers": {
+            "WARC-Type": "response",
+            "WARC-Target-URI": "https://a/weird",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+        },
+        "payload": b"HTTP/1.1 TEAPOT nope\r\nContent-Type: text/html\r\n\r\n<x>",
+    }
+    blob = w.build_warc([bad_status, _rec("https://a/after")])
+    recs = w.split_warc_records(blob)
+    assert [r["target_uri"] for r in recs] == ["https://a/weird", "https://a/after"]
+    assert recs[0]["http_status"] is None
+    assert recs[1]["http_status"] == 200
