@@ -1531,7 +1531,16 @@ FROM '{_BULK_EXTRACT_FIXTURE}'
 # registry
 # =============================================================================
 
+# Registry ORDER matters: the correctness driver checks entries in
+# registry order and may cap the run (round 4 ran exactly the first 50
+# of 52, silently dropping the tail). The flagship end-to-end gates
+# (crawl_bulk_extract = extraction fidelity, sessionize_events = the
+# streaming twin) therefore go FIRST; the cheap scalar suites that are
+# also covered by golden/unit tests go last, so a cap can only ever
+# drop redundantly-tested entries.
 QUERIES = {
+    "crawl_bulk_extract": (q_crawl_bulk_extract, SQL_BULK_EXTRACT),
+    "sessionize_events": (q_sessionize_events, sql_sessionize(30)),
     "a1_pricing_summary": (q_a1_pricing_summary, SQL_A1),
     "w3_topk_per_group": (q_w3_topk_per_group, SQL_W3),
     "w4_argmax": (q_w4_argmax, SQL_W4),
@@ -1550,9 +1559,7 @@ QUERIES = {
     "a3_greatest": (q_a3_greatest, SQL_A3),
     "a4_histogram": (q_a4_histogram, SQL_A4),
     "a5_rate_accounting": (q_a5_rate_accounting, SQL_A5),
-    "p_scalar_suite": (q_p_scalar_suite, SQL_P),
     "p10_date_parse": (q_p10_date_parse, SQL_P10),
-    "p18_review_hash": (q_p18_review_hash, SQL_P18),
     "p13_canonicalize": (q_canon_urls, SQL_CANON),
     "s9_robots_policy": (q_robots_policy, SQL_ROBOTS_POLICY),
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
@@ -1582,8 +1589,11 @@ QUERIES = {
     "mm_image_meta": (q_mm_image_meta, SQL_MM_META),
     "mm_audio_features": (q_mm_audio_features, SQL_MM_AUDIO),
     "mm_video_frames": (q_mm_video_frames, SQL_MM_VIDEO),
-    "sessionize_events": (q_sessionize_events, sql_sessionize(30)),
-    "crawl_bulk_extract": (q_crawl_bulk_extract, SQL_BULK_EXTRACT),
+    # tail (a 50-entry driver cap drops these): both are byte-identical
+    # golden-tested elsewhere (tests/test_extract.py), so a cap never
+    # leaves them unverified in a round
+    "p_scalar_suite": (q_p_scalar_suite, SQL_P),
+    "p18_review_hash": (q_p18_review_hash, SQL_P18),
 }
 
 # engine internals with no SQL twin (the crawl scheduler itself is
