@@ -1,4 +1,9 @@
-"""Benchmark harness — prints ONE JSON line per run.
+"""Benchmark harness — prints two compact JSON lines per run (the
+per-query timing dict, then the headline line the driver parses) and
+writes the COMPLETE result to BENCH_FULL.json. The split exists
+because the round driver records only the last ~2000 chars of stdout:
+round 4's single long line came back with its head truncated and
+nothing parseable.
 
 Headline = the engine's north-star metric: pages fetched+extracted/sec
 through the full frontier scheduler (wave select → fetch join →
@@ -58,7 +63,10 @@ def ensure_pages_parquet(spark, cfg) -> str:
     parallel."""
     from go_scrapper_spark.sources import synthetic_web as sw
 
-    key = f"{cfg.n_biz}_{cfg.n_hosts}_{cfg.max_reviews}_{cfg.max_nonrec}_{cfg.text_words}"
+    key = (
+        f"{cfg.n_biz}_{cfg.n_hosts}_{cfg.max_reviews}_{cfg.max_nonrec}_"
+        f"{cfg.text_words}_{cfg.skew_head_frac}"
+    )
     path = os.path.join(_PAGES_ROOT, f"bench_pages_{key}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         sw.generate_pages_df(spark, cfg, n_partitions=64).write.mode(
@@ -67,7 +75,9 @@ def ensure_pages_parquet(spark, cfg) -> str:
     return path
 
 
-def crawl_bench(spark, n_biz: int, max_parallel: int = 2000) -> dict:
+def crawl_bench(spark, n_biz: int, max_parallel: int = 2000,
+                skew_head_frac: float = 0.0,
+                host_wave_stats: bool = False) -> dict:
     from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
     from go_scrapper_spark.sources import synthetic_web as sw
     from go_scrapper_spark.sources.storage import SnapshotStore
@@ -82,6 +92,7 @@ def crawl_bench(spark, n_biz: int, max_parallel: int = 2000) -> dict:
         n_biz=n_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
         max_parallel=max_parallel, crawl_delay_ms=1,
         text_words=int(os.environ.get("BENCH_TEXT_WORDS", "40")),
+        skew_head_frac=skew_head_frac,
     )
     # fixed task count regardless of core count: the scaling comparison
     # (tools/scaling_bench.py) must queue identical work at both sizes
@@ -119,9 +130,35 @@ def crawl_bench(spark, n_biz: int, max_parallel: int = 2000) -> dict:
     seeds = resolve_profile_keys(sw.seeds_df(spark, cfg), pages)
     total = engine.run(seeds)
     wall = time.time() - t0
+    stats: dict = {}
+    if host_wave_stats:
+        # structural skew evidence: the most rows any single host put
+        # into any single wave — the politeness cap's k_host is the
+        # bound the frontier scheduler is supposed to enforce, so the
+        # capped run must read <= max_parallel here no matter how
+        # skewed the corpus is
+        # countDistinct, not count: the log has one row per ATTEMPT and
+        # in-wave 503 retries happen inside the politeness slot that
+        # dequeued the url (main.go:333-354) — the budget bounds
+        # distinct urls per (wave, host), same as the equivalence tests
+        fl = store.read_appended("fetch_log")
+        agg = (
+            fl.groupBy("wave_id", "host")
+            .agg(F.countDistinct("url").alias("n_urls"))
+            .agg(
+                F.max("n_urls").alias("mx"),
+                F.expr("percentile_approx(n_urls, 0.5)").alias("med"),
+            )
+            .collect()[0]
+        )
+        stats = {
+            "max_host_rows_per_wave": int(agg["mx"]),
+            "med_host_rows_per_wave": int(agg["med"]),
+        }
     store.destroy()
     pages.unpersist()
     return {
+        **stats,
         "n_pages_table": n_pages,
         "pages_fetched": total["fetched"],
         "reviews": total["reviews"],
@@ -225,7 +262,8 @@ def main():
         # samples each, MIN taken (min = the least-stolen sample; these
         # are deterministic single queries, not throughput estimates)
         heavy = {}
-        for name in ("dedup_minhash_lsh", "dedup_clusters"):
+        for name in ("dedup_minhash_lsh", "dedup_clusters",
+                     "dedup_ngram_jaccard"):
             heavy[name] = []
         for _ in range(3):
             for name, acc in heavy.items():
@@ -281,11 +319,12 @@ def main():
             return round(pairs / (n_q * n_corpus), 3)
 
         recall = {
-            # the gate-config points (what the oracle entries run):
-            # IVF nprobe=4 (measured-good default) carries a HARD gate
+            # the gate-config points (what the oracle entries run, which
+            # since round 5 are exactly the shipped defaults): IVF
+            # nprobe=4 and LSH tables=8+multiprobe both carry HARD gates
             "ivf_recall_at_3": recall_of("sim_ivf_topk"),
             "lsh_recall_at_3": recall_of("sim_lsh_neighbors"),
-            "lsh_cand_frac": cand_frac(8),
+            "lsh_cand_frac": cand_frac(8, multiprobe=True),
             # the recall/cost knob, demonstrated: on this synthetic
             # (unstructured) embedding table IVF recall tracks the probe
             # fraction (nprobe/n_centroids), so widening probes is the
@@ -298,32 +337,143 @@ def main():
             ),
             # LSH's knobs are table count (OR-amplification) and
             # multiprobe (Hamming-1 query-side probes). The curve below
-            # documents the measured ceiling: this embeddings table has
-            # NO similarity structure (top-3 neighbors at cosine ≈ 0.4
-            # over isotropic noise, max pair cosine 0.6), so per-plane
-            # collision contrast is 0.63-vs-0.5 and recall ≥ 0.9 is
-            # only reachable near a full scan; on a real near-dup
-            # corpus (cos ≥ 0.8) the same plan hits ≥ 0.9 recall at a
-            # few percent candidate fraction. The defaults sit at the
-            # measured knee.
+            # shows the cheaper configs under the default: this
+            # embeddings table has NO similarity structure (top-3
+            # neighbors at cosine ≈ 0.4 over isotropic noise, max pair
+            # cosine 0.6), so per-plane collision contrast is only
+            # 0.63-vs-0.5 and useful recall needs the full default
+            # config; the structured-corpus point below shows the same
+            # plan on data with real near-dup structure.
             "lsh_recall_at_3_tables2": recall_df(
                 similarity.lsh_bucketed_neighbors(
-                    emb, k=3, n_queries=5, n_planes=4, dim=64, n_tables=2
+                    emb, k=3, n_queries=5, n_planes=4, dim=64, n_tables=2,
+                    multiprobe=False,
                 )
             ),
-            "lsh_recall_at_3_tables8_mp": recall_df(
+            "lsh_recall_at_3_tables8_nomp": recall_df(
                 similarity.lsh_bucketed_neighbors(
                     emb, k=3, n_queries=5, n_planes=4, dim=64, n_tables=8,
-                    multiprobe=True,
+                    multiprobe=False,
                 )
             ),
-            "lsh_cand_frac_tables8_mp": cand_frac(8, multiprobe=True),
+            "lsh_cand_frac_tables8_nomp": cand_frac(8, multiprobe=False),
         }
-        # VERDICT r3 item 2: ANN quality is a GATE, not a footnote —
-        # fail the bench run if the shipped IVF default degrades
-        assert recall["ivf_recall_at_3"] >= 0.9, (
-            f"IVF recall@3 gate failed: {recall['ivf_recall_at_3']} < 0.9 "
-            "at the default nprobe=4 config"
+        # Structured-corpus recall (round-5 VERDICT item 3): the r4
+        # claim "on a real near-dup corpus the same plan reaches high
+        # recall at a few percent candidate fraction" — measured, not
+        # asserted. 25 planted clusters, members = center + 0.02·noise
+        # (in-cluster cos ≈ 0.97 — true near-dups); each query's top-3
+        # are its in-cluster members, the regime LSH exists for. With
+        # structure, 8 planes (256 buckets) keep recall 1.0 while
+        # scoring <10% of the corpus per query; the 4-plane default
+        # trades candidate fraction for robustness on UNstructured
+        # data (the synthetic table above).
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((25, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 5
+        for ci, c in enumerate(centers):
+            for _m in range(5):
+                v = c + 0.02 * rng.standard_normal(64)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        for qi in range(5):  # queries: extra members of clusters 0-4
+            v = centers[qi] + 0.02 * rng.standard_normal(64)
+            rows.append((qi, [float(x) for x in v]))
+        semb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        struct_truth: dict = {}
+        for r in similarity.topk_dot(semb, k=3, n_queries=5).collect():
+            struct_truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        n_struct = sum(len(v) for v in struct_truth.values())
+        n_scorpus = len(rows) - 5
+
+        def struct_point(suffix: str, **kw) -> None:
+            got_s: dict = {}
+            for r in similarity.lsh_bucketed_neighbors(
+                semb, k=3, n_queries=5, **kw
+            ).collect():
+                got_s.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            recall["lsh_recall_structured" + suffix] = round(
+                sum(
+                    len(got_s.get(q, set()) & t)
+                    for q, t in struct_truth.items()
+                ) / n_struct, 3,
+            )
+            recall["lsh_cand_frac_structured" + suffix] = round(
+                similarity.lsh_bucketed_neighbors(
+                    semb, k=10**9, n_queries=5, **kw
+                ).count() / (5 * n_scorpus), 3,
+            )
+
+        struct_point("")  # shipped default (4 planes, 8 tables, mp)
+        struct_point("_p8", n_planes=8, n_tables=4, multiprobe=False)
+        # ANN quality is a GATE, not a footnote — fail the bench run if
+        # a shipped default config degrades (IVF: r3 item 2; LSH: r4
+        # item 3 — the default IS now the tables=8+multiprobe config).
+        # The sf-table gates are calibrated at the driver's sf0.1 scale
+        # (recall on the synthetic embeddings table is a property of
+        # table size as well as config); iteration runs at other sf
+        # still REPORT the numbers but only the sf-independent
+        # structured-corpus gate below is enforced there.
+        # BENCH_RECALL_GATES=1/0 overrides.
+        gates_on = os.environ.get(
+            "BENCH_RECALL_GATES",
+            "1" if sf_dir.rstrip("/").endswith("sf0.1") else "0",
+        )
+        if gates_on == "1":
+            assert recall["ivf_recall_at_3"] >= 0.9, (
+                f"IVF recall@3 gate failed: {recall['ivf_recall_at_3']} "
+                "< 0.9 at the default nprobe=4 config"
+            )
+            assert recall["lsh_recall_at_3"] >= 0.85, (
+                f"LSH recall@3 gate failed: {recall['lsh_recall_at_3']} "
+                "< 0.85 at the default tables=8+multiprobe config"
+            )
+        # scale-independent gate: on the deterministic planted near-dup
+        # corpus the default LSH config must stay essentially lossless
+        assert recall["lsh_recall_structured"] >= 0.85, (
+            "structured-corpus LSH recall@3 gate failed: "
+            f"{recall['lsh_recall_structured']} < 0.85"
+        )
+
+    # Skew evidence (round-5 VERDICT item 5): SURVEY §4.2-1 claims the
+    # politeness cap structurally bounds per-host skew — demonstrated
+    # here, not argued. A deliberately skewed corpus (half of all
+    # businesses pinned to host0 → one host with ~100x the median
+    # host's pages) crawls twice: with the politeness cap (k_host =
+    # 2000) and effectively uncapped. The capped run must show
+    # max_host_rows_per_wave <= 2000 (the structural bound on any
+    # host-keyed partition, no matter the corpus) and flat wave times;
+    # the uncapped run shows the hot-host flood the cap prevents.
+    skew: dict = {}
+    if os.environ.get("BENCH_SKIP_SKEW") != "1":
+        sk_biz = int(os.environ.get("BENCH_SKEW_N_BIZ", "12000"))
+        sk_cap = 2000
+        for tag, par in (("capped", sk_cap), ("uncapped", 10**7)):
+            r = crawl_bench(
+                spark, sk_biz, max_parallel=par, skew_head_frac=0.5,
+                host_wave_stats=True,
+            )
+            skew[f"skew_pps_{tag}"] = r["crawl_pages_per_sec"]
+            skew[f"skew_waves_{tag}"] = r["supersteps"]
+            skew[f"skew_max_wave_sec_{tag}"] = max(r["wave_secs"])
+            skew[f"skew_wave_secs_{tag}"] = r["wave_secs"]
+            skew[f"skew_max_host_rows_per_wave_{tag}"] = r[
+                "max_host_rows_per_wave"
+            ]
+            skew[f"skew_med_host_rows_per_wave_{tag}"] = r[
+                "med_host_rows_per_wave"
+            ]
+        skew["skew_n_biz"] = sk_biz
+        skew["skew_cap"] = sk_cap
+        assert skew["skew_max_host_rows_per_wave_capped"] <= sk_cap, (
+            "politeness cap failed to bound per-host wave rows: "
+            f"{skew['skew_max_host_rows_per_wave_capped']} > {sk_cap}"
         )
 
     scaling: dict = {}
@@ -451,7 +601,7 @@ def main():
 
     total_sec = round(time.time() - t_all, 2)
     out = {
-        "metric": "headline suite wall seconds (crawl e2e + bulk extract + oracle ops); crawl_pages_per_sec is the north-star rate; extract_scaling_efficiency_4_to_16 is the north-rule N->4N evidence",
+        "metric": "headline suite wall seconds (crawl e2e + bulk extract + oracle ops); crawl_pages_per_sec is the north-star rate; crawl_scaling_efficiency_n_to_4n is the north-rule N->4N evidence",
         "value": total_sec,
         "unit": "sec",
         "queries": queries,
@@ -461,9 +611,63 @@ def main():
         **ext,
         **samples,
         **recall,
+        **skew,
         **scaling,
     }
-    print(json.dumps(out))
+    # The driver records only the last ~2000 chars of stdout (BENCH_r04
+    # captured a 'tail' whose JSON head — the metric and half the
+    # per-query dict — was cut off, and its 'parsed' field came back
+    # empty). Three-part emission keeps everything recoverable:
+    #   1. BENCH_FULL.json in the repo root: the COMPLETE result.
+    #   2. stdout line 1: the per-query timing dict alone, compact.
+    #   3. stdout line 2 (last, what the driver parses): the headline +
+    #      scaling + recall gates, compact, guaranteed short.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    def _r(v, nd=1):
+        if isinstance(v, float):
+            return round(v, nd)
+        if isinstance(v, list):
+            return [_r(x, nd) for x in v]
+        return v
+
+    # REVERSED registry order: the capture keeps the END of stdout, so
+    # if this line's head is cut the surviving tail holds the
+    # registry-HEAD flagships (crawl_bulk_extract, sessionize_events)
+    qline = {
+        "queries": {
+            k: _r(queries[k], 2)
+            for k in reversed(list(queries))
+            if not k.endswith("_clean_samples")
+        }
+    }
+    head_keys = [
+        "value", "unit", "sf", "cores",
+        "crawl_sec", "crawl_pages_per_sec", "supersteps", "pages_fetched",
+        "extract_sec", "extract_pages_per_sec",
+        "ivf_recall_at_3", "lsh_recall_at_3", "lsh_cand_frac",
+        "lsh_recall_structured", "lsh_recall_structured_p8",
+        "lsh_cand_frac_structured_p8",
+        "extract_pps_4c", "extract_pps_16c",
+        "extract_scaling_efficiency_4_to_16",
+        "crawl_scale_n_biz", "crawl_scale_cores",
+        "crawl_pages_per_sec_16c",
+        "crawl_scaling_efficiency_n_to_4n",
+    ] + [k for k in out if k.startswith(("crawl_pps_", "skew_"))
+         and k != "crawl_pps_samples"
+         and not k.startswith(("skew_wave_secs_", "skew_med_"))]
+    main_line = {
+        "metric": "see BENCH_FULL.json for full detail; per-query secs on previous stdout line",
+    }
+    for k in head_keys:
+        if k in out and k not in main_line:
+            main_line[k] = _r(out[k])
+    print(json.dumps(qline, separators=(",", ":")))
+    print(json.dumps(main_line, separators=(",", ":")))
     try:
         spark.stop()
     except Exception:

@@ -735,16 +735,22 @@ WHERE rank <= 3
 
 
 def q_sim_lsh_neighbors(spark, sf):
+    # the shipped defaults ARE the gate config (n_tables=8 +
+    # Hamming-1 multiprobe, bench-asserted recall@3 >= 0.85) — spelled
+    # out so the oracle visibly runs what users get
     return similarity.lsh_bucketed_neighbors(
         _t(spark, sf, "embeddings"), k=3, n_queries=5, n_planes=4, dim=64,
-        n_tables=8,
+        n_tables=8, multiprobe=True,
     )
 
 
 def _sql_lsh_neighbors(n_planes: int = 4, n_tables: int = 8) -> str:
-    """DuckDB twin of the multi-table (OR-amplified) LSH: one bucket
-    per (vector, table) with table-seeded plane weights, candidates =
-    union of per-table bucket joins, deduped by the same max-aggregate."""
+    """DuckDB twin of the multi-table (OR-amplified) LSH with query-
+    side Hamming-1 multiprobe: one bucket per (vector, table) with
+    table-seeded plane weights; the query side probes its exact bucket
+    plus every 1-bit flip (xor with each plane mask); candidates =
+    union of per-table bucket joins, deduped by the same
+    max-aggregate."""
     per_table = []
     for t in range(n_tables):
         projs = " + ".join(
@@ -756,14 +762,19 @@ def _sql_lsh_neighbors(n_planes: int = 4, n_tables: int = 8) -> str:
         )
         per_table.append(f"SELECT vec_id, qv, {t} AS tbl, ({projs}) AS bucket FROM v0")
     v_union = "\n      UNION ALL\n      ".join(per_table)
+    masks = ", ".join(["(0)"] + [f"({1 << p})" for p in range(n_planes)])
     return f"""
 WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
             FROM embeddings),
 v AS ({v_union}),
+masks AS (SELECT * FROM (VALUES {masks}) m(mask)),
+qprobe AS (
+  SELECT vec_id, qv, tbl, xor(bucket, mask) AS bucket
+  FROM v, masks WHERE vec_id < 5),
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST(max(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i]))) AS BIGINT) AS dot
-  FROM v q JOIN v c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5
+  FROM qprobe q JOIN v c ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id >= 5
   GROUP BY q.vec_id, c.vec_id)
 SELECT query_id, neighbor_id, dot, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id

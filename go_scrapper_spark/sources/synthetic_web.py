@@ -48,6 +48,10 @@ class WebConfig:
     # Default 3 keeps the small golden fixtures; benches use ~40 for
     # realistic multi-KB page bodies.
     text_words: int = 3
+    # skew exercise (bench + tests): pin this fraction of businesses to
+    # host0 on top of the quadratic Zipf head, producing a single host
+    # with ~100x the median host's pages. 0.0 = unchanged distribution.
+    skew_head_frac: float = 0.0
 
 
 # --- deterministic primitives ------------------------------------------------
@@ -69,6 +73,10 @@ _NAMES = (
 
 
 def host_of_biz(cfg: WebConfig, biz: int) -> str:
+    if cfg.skew_head_frac > 0 and (
+        (_h(cfg, "skewpin", biz) % 1_000_000) / 1_000_000 < cfg.skew_head_frac
+    ):
+        return "www.host0.example"
     # quadratic skew: low host ids get the Zipf head (skew exercise)
     r = (_h(cfg, "host", biz) % 1_000_000) / 1_000_000
     return f"www.host{int(cfg.n_hosts * r * r)}.example"

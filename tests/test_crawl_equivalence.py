@@ -319,3 +319,35 @@ def test_cookie_carry_matches_model(spark, run):
         assert later and any(r[7] is not None for r in later)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_skewed_corpus_matches_model_and_cap_bounds_hot_host(spark):
+    """skew_head_frac (the bench's deliberately-skewed web: half of all
+    businesses pinned to host0) must not disturb crawl-order
+    equivalence, and the politeness cap must bound the hot host's rows
+    per wave exactly like any other host's."""
+    cfg = sw.WebConfig(n_biz=12, skew_head_frac=0.5)
+    base = tempfile.mkdtemp(prefix="crawl-skew-")
+    try:
+        store = SnapshotStore(spark, base)
+        pages = sw.generate_pages_df(spark, cfg, n_partitions=4)
+        eng = CrawlEngine(
+            spark, pages, sw.robots_df(spark, cfg), store,
+            CrawlConfig(fail_attempts_col=lambda: sw.fail_attempts_col(cfg)),
+        )
+        eng.run(resolve_profile_keys(sw.seeds_df(spark, cfg), pages))
+        m = ModelCrawl(cfg).run()
+        assert _engine_log(store) == sorted(m["fetch_log"])
+        # the pinned host really is the head…
+        hosts = [sw.host_of_biz(cfg, b) for b in range(cfg.n_biz)]
+        assert hosts.count("www.host0.example") >= cfg.n_biz // 2
+        # …and the per-(wave, host) budget still holds on it
+        over = (
+            store.read_appended("fetch_log")
+            .groupBy("wave_id", "host")
+            .agg(F.countDistinct("url").alias("n_urls"))
+            .filter(F.col("n_urls") > 10)
+        )
+        assert over.count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
