@@ -98,6 +98,16 @@ class CrawlConfig:
     # ledger, extraction, cookie carry) is identical between the two
     # paths. Factory must be picklable; one client per partition.
     transport_factory: object = None
+    # overlap the snapshot commit with the next wave's planning: the
+    # commit's parquet-encoding jobs run from a background driver
+    # thread (Spark's scheduler is thread-safe) while the main thread
+    # selects and fetches the next wave. Commits stay strictly ordered
+    # (a new commit joins the previous future first) and the manifest
+    # is still written last, so atomicity/resume semantics are
+    # unchanged — a kill mid-overlap leaves the previous committed
+    # snapshot, exactly like a kill mid-commit did before. This was
+    # the last serial disk-bound leg in the N→4N scaling profile.
+    async_commit: bool = True
 
 
 def _fail_udf(fn):
@@ -148,7 +158,7 @@ class CrawlEngine:
         # superseded frontier checkpoints of the current checkpoint
         # window: the window's lazily-persisted wave subtrees root their
         # lineage at these frames, so they must stay alive (spillable
-        # MEMORY_AND_DISK blocks) until _drop_transients — freeing them
+        # MEMORY_AND_DISK blocks) until the post-commit free step — freeing them
         # eagerly would truncate the recompute path of any evicted
         # persist block
         self._frontier_history: list[DataFrame] = []
@@ -175,6 +185,28 @@ class CrawlEngine:
         # None = not yet loaded (seed() or a resume populates it).
         self._inc_hashes: dict[int, tuple[str, ...]] | None = None
         self._inc_state: dict[int, dict] = {}
+        # in-flight async commit (cfg.async_commit): at most ONE —
+        # submitting the next commit joins this future first, and
+        # run() joins it before returning, so the store is always
+        # consistent when control leaves the engine
+        self._commit_future = None
+        self._commit_pool = None
+
+    def _join_commit(self) -> None:
+        """Wait for the in-flight async commit (if any); re-raises its
+        exception so a failed commit fails the run loudly."""
+        fut, self._commit_future = self._commit_future, None
+        if fut is not None:
+            fut.result()
+
+    def flush_commits(self) -> None:
+        """Public barrier for callers that drive ``run_superstep``
+        directly (run() joins automatically): returns once every
+        submitted snapshot commit is durable on disk. A kill BEFORE
+        this point may lose the in-flight commit — the resume contract
+        then replays from the previous manifest, exactly like a kill
+        mid-commit always did."""
+        self._join_commit()
 
     # ------------------------------------------------------------------ seeds
 
@@ -387,10 +419,10 @@ class CrawlEngine:
         # three sequential job launches per wave — the per-wave fixed
         # cost that dominates crawl wall time at sandbox payload).
         # Persisted frames from transient waves stay cached until the
-        # next snapshot commit writes them (unpersisted in
-        # _drop_transients). Recompute-on-eviction is deterministic
+        # next snapshot commit writes them (unpersisted after
+        # the snapshot commit). Recompute-on-eviction is deterministic
         # BECAUSE every frontier checkpoint of the window is kept alive
-        # until _drop_transients (_frontier_history) — these subtrees
+        # until the post-commit free step (_frontier_history) — these subtrees
         # root their lineage there. The window is still only as
         # fault-tolerant as localCheckpoint itself: fine in local mode,
         # while on a cluster an executor loss inside a window loses
@@ -472,7 +504,9 @@ class CrawlEngine:
                     cfg.bloom_expected_per_bucket, cfg.bloom_fpp
                 ),
             ).localCheckpoint(eager=True)
-            self._bloom_df.unpersist()
+            # graveyard, not immediate unpersist: an in-flight async
+            # commit may still be writing the superseded bloom table
+            self._frontier_history.append(self._bloom_df)
             self._bloom_df = merged
 
         if cfg.cookies:
@@ -552,28 +586,30 @@ class CrawlEngine:
         # 16c/n_biz=24k as ~4x total executor-time inflation versus the
         # 4-core run of the SAME job (the round-3 "fold everything into
         # one action" layout was right for the 6k-payload driver floor
-        # and wrong for wave-dominated payloads). On TRANSIENT waves the
-        # frontier localCheckpoint doubles as the materializer (its
-        # heavy branch IS that lineage), so the wave still costs exactly
-        # two driver actions; commit waves warm the caches with one
-        # count() for the concurrent table writers.
+        # and wrong for wave-dominated payloads). The frontier
+        # localCheckpoint below doubles as the materializer on every
+        # wave (its heavy branch IS that lineage), so a wave costs
+        # exactly two driver actions; commit waves then hand the warm
+        # caches to the (async) table writers.
         maybe_ckpt = (
             cfg.checkpoint_every <= 1
             or wave_id % cfg.checkpoint_every == 0
             or wave_id >= cfg.max_supersteps
         )
-        new_frontier: DataFrame | None = None
-        if maybe_ckpt:
-            new_rows.count()
-        else:
-            # lineage truncated for the next wave. The superseded
-            # checkpoint is NOT freed here: this window's pending
-            # persists recompute through it on eviction, so it lives
-            # until the next snapshot commit (_drop_transients).
-            new_frontier = frontier_next.localCheckpoint(eager=True)
-            if self._frontier_cache is not None:
-                self._frontier_history.append(self._frontier_cache)
-            self._frontier_cache = new_frontier
+        # BOTH wave kinds now checkpoint the frontier eagerly and keep
+        # it as the in-memory frontier for the next wave (the heavy
+        # branch of frontier_next IS the wave's persisted lineage, so
+        # this doubles as the linear cache materializer). Keeping the
+        # frontier in memory across commits removes the next wave's
+        # read-back of the just-written snapshot — the dependency that
+        # would otherwise force the async commit to be joined
+        # immediately. The superseded checkpoint is NOT freed here:
+        # this window's pending persists recompute through it on
+        # eviction, so it lives until the commit's free step.
+        new_frontier = frontier_next.localCheckpoint(eager=True)
+        if self._frontier_cache is not None:
+            self._frontier_history.append(self._frontier_cache)
+        self._frontier_cache = new_frontier
 
         if cfg.metrics:
             # micro-job over the now-warm caches: crossJoin of the
@@ -642,11 +678,7 @@ class CrawlEngine:
 
         is_checkpoint = maybe_ckpt or stats["attempted"] == 0
         if is_checkpoint:
-            tables = {
-                "frontier": new_frontier
-                if new_frontier is not None
-                else frontier_next
-            }
+            tables = {"frontier": new_frontier}
             for name, dfs in self._pending_deltas.items():
                 acc = dfs[0]
                 for nxt in dfs[1:]:
@@ -662,29 +694,49 @@ class CrawlEngine:
             if cfg.cookies and self._cookie_df is not None:
                 # cookie jar rides the snapshot → resume carries state
                 tables["cookies"] = self._cookie_df
-            self._commit(wave_id, tables)
-            self._drop_transients()
+            self._submit_commit(wave_id, tables)
         fetched.unpersist()
         stats["pending"] = None  # filled by run()
         return stats
 
-    def _drop_transients(self) -> None:
-        """Called after each snapshot commit: the accumulated delta
-        frames (this checkpoint window's persisted wave subtrees) are
-        on disk now, so release their cache."""
+    def _submit_commit(self, wave_id: int, tables: dict) -> None:
+        """Commit + cache-release, overlapped with the next wave when
+        cfg.async_commit. The pending state is snapshotted-and-swapped
+        on the MAIN thread first, so the next wave accumulates into
+        fresh lists while the background thread writes and frees only
+        this window's frames. The current frontier checkpoint is NOT
+        freed — the next wave plans from it (and every table the
+        commit writes roots in frames owned by this closure)."""
         from go_scrapper_spark.operators.dedupe import free_local_checkpoint
 
-        if self._frontier_cache is not None:
-            free_local_checkpoint(self._frontier_cache)
-            self._frontier_cache = None
-        for df in self._frontier_history:
-            free_local_checkpoint(df)
-        self._frontier_history = []
-        for df in self._pending_mats:
-            df.unpersist()
+        mats_to_free = self._pending_mats
+        hist_to_free = self._frontier_history
         self._pending_mats = []
+        self._frontier_history = []
         self._pending_deltas = {}
         self._pending_metrics = []
+
+        def _commit_and_free():
+            self._commit(wave_id, tables)
+            # the window's frames are on disk now — release caches
+            for df in hist_to_free:
+                free_local_checkpoint(df)
+            for df in mats_to_free:
+                df.unpersist()
+
+        # strict commit ordering: wait for the previous in-flight
+        # commit before starting this one (also re-raises its errors)
+        self._join_commit()
+        if not self.cfg.async_commit:
+            _commit_and_free()
+            return
+        if self._commit_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._commit_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="snapshot-commit"
+            )
+        self._commit_future = self._commit_pool.submit(_commit_and_free)
 
     # ------------------------------------------------------------------- run
 
@@ -708,6 +760,10 @@ class CrawlEngine:
                 total[k] += stats[k]
             if stats["attempted"] == 0:
                 break
+        # the final wave's commit may still be encoding in the
+        # background — the run is only DONE when it is on disk, and
+        # callers read the store the moment run() returns
+        self._join_commit()
         total["wall_sec"] = time.time() - t0
         return total
 

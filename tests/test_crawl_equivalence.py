@@ -194,6 +194,7 @@ def test_bloom_resume_uses_committed_bloom_table(spark, run):
         eng.seed(_seeds(spark))
         eng.run_superstep(1)
         eng.run_superstep(2)
+        eng.flush_commits()  # the kill happens after the commit lands
         assert os.path.exists(os.path.join(base, "snap-00002", "seen_bloom"))
         eng2 = make_engine()  # fresh engine: bloom state from the snapshot
         eng2.run()
@@ -217,6 +218,7 @@ def test_compaction_mid_crawl_preserves_resume(spark, run):
         eng.seed(_seeds(spark))
         eng.run_superstep(1)
         eng.run_superstep(2)
+        eng.flush_commits()  # the kill happens after the commit lands
         assert len(store.committed_waves()) == 3  # seed + 2 waves
         compacted = store.compact(cbase)
         assert compacted.committed_waves() == [2]  # one snapshot, same wave id
@@ -252,6 +254,7 @@ def test_resume_after_kill_is_identical(spark, run):
         eng.seed(_seeds(spark))
         eng.run_superstep(1)
         eng.run_superstep(2)
+        eng.flush_commits()  # the kill happens after the commit lands
         # simulate a crash mid-superstep 3: parquet written, no manifest
         import os
 
@@ -349,5 +352,31 @@ def test_skewed_corpus_matches_model_and_cap_bounds_hot_host(spark):
             .filter(F.col("n_urls") > 10)
         )
         assert over.count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sync_commit_equals_async_default(spark, run):
+    """cfg.async_commit=False (serial commit, the pre-round-5 layout)
+    must produce the identical fetch log and final frontier as the
+    overlapped default the rest of this suite runs."""
+    _eng, _store, _total, m = run
+    base = tempfile.mkdtemp(prefix="crawl-synccommit-")
+    try:
+        store = SnapshotStore(spark, base)
+        pages = sw.generate_pages_df(spark, CFG, n_partitions=4)
+        eng = CrawlEngine(
+            spark, pages, sw.robots_df(spark, CFG), store,
+            CrawlConfig(fail_attempts_col=lambda: sw.fail_attempts_col(CFG),
+                        async_commit=False, checkpoint_every=2),
+        )
+        eng.run(_seeds(spark))
+        assert _engine_log(store) == sorted(m["fetch_log"])
+        ef = {
+            r["url"]: (r["state"], r["attempt"])
+            for r in store.read_snapshot_table(store.latest_wave(), "frontier").collect()
+        }
+        mf = {u: (r["state"], r["attempt"]) for u, r in m["frontier"].items()}
+        assert ef == mf
     finally:
         shutil.rmtree(base, ignore_errors=True)

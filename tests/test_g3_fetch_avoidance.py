@@ -294,6 +294,7 @@ def test_incremental_resume_mid_probe(spark, runs):
         eng.seed(_seeds(spark, LAST_HASHES))
         eng.run_superstep(1)
         eng.run_superstep(2)
+        eng.flush_commits()  # the kill happens after the commit lands
         eng2 = _engine(spark, store)  # fresh engine: state from snapshot
         eng2.run()
         assert _engine_log(store) == sorted(m_inc["fetch_log"])
