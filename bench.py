@@ -75,9 +75,11 @@ def ensure_pages_parquet(spark, cfg) -> str:
     return path
 
 
-def crawl_bench(spark, n_biz: int, max_parallel: int = 2000,
+def crawl_bench(spark, n_biz: int, max_parallel: int | None = None,
                 skew_head_frac: float = 0.0,
                 host_wave_stats: bool = False) -> dict:
+    if max_parallel is None:
+        max_parallel = int(os.environ.get("BENCH_MAX_PARALLEL", "2000"))
     from go_scrapper_spark.plans.crawl import CrawlConfig, CrawlEngine
     from go_scrapper_spark.sources import synthetic_web as sw
     from go_scrapper_spark.sources.storage import SnapshotStore

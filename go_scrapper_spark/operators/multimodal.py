@@ -11,11 +11,17 @@ raises NotImplementedError until a decoder is installed.
 
 from __future__ import annotations
 
+import importlib.util
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# feature detection: the round a decoder library lands in the image,
+# the real-decode path activates with zero code changes (and its
+# skip-marked tests in tests/test_trainingdata_ops.py start running)
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 IMAGE_META_DDL = "doc_id long, n_bytes long, fake_width int, fake_height int, mode string"
 
@@ -28,12 +34,25 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id",
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decoder hook. Install PIL/libvips and implement; the
-    surrounding Spark plumbing is unchanged."""
-    raise NotImplementedError(
-        "media decode libraries are not available in this environment; "
-        "use decode_image_meta (deterministic stub) for pipeline tests"
-    )
+    """Real decoder hook, active whenever PIL is importable (HAS_PIL).
+    Returns the same record shape as the stub (width/height/mode from
+    the actual image); the surrounding Spark plumbing is unchanged."""
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "media decode libraries are not available in this environment; "
+            "use decode_image_meta (deterministic stub) for pipeline tests"
+        )
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "n_bytes": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "mode": im.mode,
+        }
 
 
 def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -366,3 +366,31 @@ def test_content_sniffing_magic_bytes(spark):
         14: "text/plain", 15: "application/octet-stream", 16: "empty",
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- real decode
+# Skip-marked feature-detection tests (round-5 VERDICT item 8): the
+# round a decoder library lands in the image these activate with zero
+# code changes; until then the stub path above is the tested surface.
+import pytest as _pytest
+
+from go_scrapper_spark.operators.multimodal import HAS_PIL, decode_image_real
+
+
+@_pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this image")
+def test_decode_image_real_reads_actual_dimensions():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    meta = decode_image_real(buf.getvalue())
+    assert (meta["width"], meta["height"], meta["mode"]) == (12, 7, "RGB")
+    assert meta["n_bytes"] == len(buf.getvalue())
+
+
+@_pytest.mark.skipif(HAS_PIL, reason="decoder present — real path active")
+def test_decode_image_real_raises_without_decoder():
+    with _pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG\r\n")

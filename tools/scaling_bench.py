@@ -27,8 +27,8 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORES_SMALL = int(os.environ.get("SCALE_N", "4"))
-CORES_BIG = int(os.environ.get("SCALE_4N", "16"))
+CORES_SMALL = int(os.environ.get("SCALE_N", "2"))
+CORES_BIG = int(os.environ.get("SCALE_4N", "8"))
 
 
 def run_at(cores: int, n_biz: int) -> dict:
@@ -39,19 +39,25 @@ def run_at(cores: int, n_biz: int) -> dict:
         BENCH_SKIP_QUERIES="1",
         BENCH_SKIP_SCALING="1",  # this tool IS the scaling harness
         BENCH_CRAWL_SAMPLES="1",  # the pairs loop below is the sampler
-        BENCH_EXTRACT_X="6",
+        BENCH_EXTRACT_X="1",
+        BENCH_SKIP_SKEW="1",  # the skew section is not a scaling leg
+        # the round-4+ crawl gate config: wave widths in the cluster
+        # regime so the per-wave control floor amortizes
+        BENCH_MAX_PARALLEL=os.environ.get("BENCH_MAX_PARALLEL", "20000"),
         PYTHONPATH=REPO,
     )
-    out = subprocess.run(
+    subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # bench stdout is now capped for the driver's tail capture; the
+    # complete result lands in BENCH_FULL.json
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
+        return json.load(f)
 
 
 def main():
-    n_biz = int(os.environ.get("BENCH_N_BIZ", "6000"))
+    n_biz = int(os.environ.get("BENCH_N_BIZ", "48000"))
     pairs = int(os.environ.get("SCALE_PAIRS", "2"))
     best: dict[int, dict] = {}
     for _ in range(pairs):
