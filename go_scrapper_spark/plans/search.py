@@ -71,13 +71,27 @@ def resolve_profile_keys(
     ``match_service_factory`` switches J1/J2 from the in-engine
     edit-distance argmin to the reference's external match-service POST
     (S5, main.go:434-468) through operators/transport.match_via_service
-    — same inputs, same (task_id, resolved_key) contract."""
+    — same inputs, same (task_id, resolved_key) contract.
+
+    Short-circuits when every seed already carries a profile_key: the
+    resolution plan fetch-joins the FULL pages corpus, which an
+    all-direct batch must never pay (the seed list is the CLI payload
+    — O(tasks) — so the emptiness probe is trivially cheap, while the
+    skipped join is O(corpus))."""
     direct = seeds.filter(F.col("profile_key") != "")
     searchy = seeds.filter(F.col("profile_key") == "")
+    if searchy.isEmpty():
+        return seeds
 
     with_urls = build_search_url(searchy)
-    fetched = with_urls.join(
-        pages.select(F.col("url").alias("search_url"), "html"), "search_url", "left"
+    # broadcast the O(tasks) search-URL side and probe the corpus in
+    # place: a shuffle join here would move EVERY page's html across
+    # the cluster to match a task list thousands of times smaller.
+    # Inner join is value-identical to the former left join — taskless
+    # pages can't match, pageless tasks produce no candidates either
+    # way (the final left join with `winners` restores them with '').
+    fetched = pages.select(F.col("url").alias("search_url"), "html").join(
+        F.broadcast(with_urls.select("task_id", "search_url")), "search_url"
     )
     cands = fetched.select("task_id", "search_url", "html").mapInPandas(
         _extract_candidates, schema=CAND_DDL
