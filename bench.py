@@ -116,8 +116,16 @@ def crawl_bench(spark, n_biz: int, max_parallel: int | None = None,
         # review rows) would otherwise coalesce to 8 tasks and cap the
         # measurable core scaling of the commit wave; file-count hygiene
         # is the SnapshotStore.compact job's concern, not the bench's
+        # checkpoint_every=2: with the overlapped (async) snapshot
+        # commit, a 2-wave durability cadence is near-free at high
+        # parallelism — the parquet encoding fills the JVM-idle gaps
+        # the Python extract plane leaves — and it removes the big
+        # serial encode tail a run-end-only commit pays (measured:
+        # final commit join 14.2 s → 0.4 s at 8c, crawl +4% throughput;
+        # 2c +15%). It is also the honest production posture: a crawl
+        # that commits once at the end isn't resumable mid-run.
         CrawlConfig(fail_attempts_col=lambda: sw.fail_attempts_col(cfg),
-                    window_ms=2_000_000, checkpoint_every=8,
+                    window_ms=2_000_000, checkpoint_every=2,
                     write_partitions=32),
     )
     # pre-warm the engine's url-partitioned pages cache: loading and

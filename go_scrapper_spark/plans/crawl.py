@@ -270,12 +270,20 @@ class CrawlEngine:
             )
             .dropDuplicates(["url"])
         )
+        # mirror the wave path: eager-checkpoint the seeded frontier,
+        # keep it as the in-memory frontier for wave 1, and commit
+        # snapshot 0 in the background — wave 1's planning overlaps the
+        # seed commit instead of waiting on it, and never re-reads the
+        # snapshot it is derived from. (run() / flush_commits() joins
+        # before anything reads the store.)
+        frontier = frontier.localCheckpoint(eager=True)
+        self._frontier_cache = frontier
         seen = frontier.select(
             "url_hash",
             F.pmod(F.col("url_hash"), F.lit(self.cfg.n_buckets)).cast("int").alias("bucket"),
             F.lit(0).cast("long").alias("wave_id"),
         )
-        self._commit(0, {"frontier": frontier, "seen": seen, **self._inc_tables()})
+        self._submit_commit(0, {"frontier": frontier, "seen": seen, **self._inc_tables()})
         seeds_df.unpersist()
 
     # --------------------------------------------------------------- superstep

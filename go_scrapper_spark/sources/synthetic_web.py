@@ -566,7 +566,16 @@ def robots_df(spark, cfg: WebConfig):
 def seeds_df(spark, cfg: WebConfig, last_hashes: dict[int, list[str]] | None = None):
     from go_scrapper_spark.schemas import SEEDS_SCHEMA
 
-    return spark.createDataFrame(seed_rows(cfg, last_hashes), schema=SEEDS_SCHEMA)
+    # Arrow path: a list-of-Rows createDataFrame pickles row-by-row on
+    # every materialization of the plan (~5 s at 48k tasks, driver-
+    # serial — pure Amdahl in the crawl's seed phase); a pandas frame
+    # ships as Arrow batches (~0.5 s). Column order must match the
+    # schema — pandas input binds by position.
+    import pandas as pd
+
+    rows = seed_rows(cfg, last_hashes)
+    pdf = pd.DataFrame(rows, columns=[f.name for f in SEEDS_SCHEMA.fields])
+    return spark.createDataFrame(pdf, schema=SEEDS_SCHEMA)
 
 
 # --- Spark-side generator ------------------------------------------------------
