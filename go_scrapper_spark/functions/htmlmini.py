@@ -16,6 +16,7 @@ the selector semantics here are the contract.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from html.parser import HTMLParser
 
 _VOID_TAGS = {
@@ -25,7 +26,10 @@ _VOID_TAGS = {
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent", "_text")
+    __slots__ = (
+        "tag", "attrs", "children", "parent",
+        "_text", "_desc", "_by_tag", "_classes",
+    )
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
         self.tag = tag
@@ -33,10 +37,15 @@ class Node:
         self.children: list[object] = []  # Node or str
         self.parent = parent
         self._text = None
+        self._desc = None
+        self._by_tag = None
+        self._classes = None
 
     @property
     def classes(self) -> set[str]:
-        return set((self.attrs.get("class") or "").split())
+        if self._classes is None:
+            self._classes = set((self.attrs.get("class") or "").split())
+        return self._classes
 
     def text(self) -> str:
         """All descendant text concatenated (goquery .Text() semantics)."""
@@ -53,12 +62,33 @@ class Node:
         return self._text
 
     def iter_desc(self):
-        """All descendant element nodes, document order."""
-        stack: list[Node] = [c for c in reversed(self.children) if isinstance(c, Node)]
-        while stack:
-            n = stack.pop()
-            yield n
-            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+        """All descendant element nodes, document order. Materialized
+        once per node (extraction runs dozens of selectors against the
+        same subtrees; the repeated stack walk was the profiled hot
+        path of the whole crawl's Python plane). Caches are only valid
+        once parsing is done — parse_html returns a finished tree."""
+        if self._desc is None:
+            out: list[Node] = []
+            stack: list[Node] = [
+                c for c in reversed(self.children) if isinstance(c, Node)
+            ]
+            while stack:
+                n = stack.pop()
+                out.append(n)
+                stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+            self._desc = out
+        return self._desc
+
+    def desc_by_tag(self, tag: str) -> list["Node"]:
+        """Descendants of one tag, document order — the candidate set
+        for tagged selectors (most of the reference's selector set), so
+        a `div.review` query scans review divs, not the whole DOM."""
+        if self._by_tag is None:
+            idx: dict[str, list[Node]] = {}
+            for n in self.iter_desc():
+                idx.setdefault(n.tag, []).append(n)
+            self._by_tag = idx
+        return self._by_tag.get(tag, [])
 
 
 class _Builder(HTMLParser):
@@ -140,8 +170,12 @@ class _Simple:
         return True
 
 
-def _compile(selector: str) -> list[tuple[str, _Simple]]:
-    """Compile into [(combinator, simple)] where combinator ∈ {desc, child}."""
+@lru_cache(maxsize=512)
+def _compile(selector: str) -> tuple[tuple[str, _Simple], ...]:
+    """Compile into ((combinator, simple), ...) where combinator ∈
+    {desc, child}. Cached: the extraction pass runs the same ~20
+    selectors against every page, and _Simple construction was ~10% of
+    select() time. _Simple is immutable after construction."""
     tokens = selector.replace(">", " > ").split()
     out: list[tuple[str, _Simple]] = []
     comb = "desc"
@@ -151,7 +185,7 @@ def _compile(selector: str) -> list[tuple[str, _Simple]]:
             continue
         out.append((comb, _Simple(tok)))
         comb = "desc"
-    return out
+    return tuple(out)
 
 
 def select(root: Node, selector: str) -> list[Node]:
@@ -160,17 +194,23 @@ def select(root: Node, selector: str) -> list[Node]:
     current = [root]
     for comb, simple in parts:
         nxt: list[Node] = []
-        seen: set[int] = set()
+        # one base yields unique nodes already — the dedup set only
+        # matters when overlapping subtrees can emit a node twice
+        seen: set[int] | None = set() if len(current) > 1 else None
         for base in current:
-            it = (
-                (c for c in base.children if isinstance(c, Node))
-                if comb == "child"
-                else base.iter_desc()
-            )
-            for n in it:
-                if id(n) not in seen and simple.match(n):
-                    seen.add(id(n))
-                    nxt.append(n)
+            if comb == "child":
+                it = (c for c in base.children if isinstance(c, Node))
+            elif simple.tag:
+                it = base.desc_by_tag(simple.tag)
+            else:
+                it = base.iter_desc()
+            if seen is None:
+                nxt.extend(n for n in it if simple.match(n))
+            else:
+                for n in it:
+                    if id(n) not in seen and simple.match(n):
+                        seen.add(id(n))
+                        nxt.append(n)
         current = nxt
     return current
 
