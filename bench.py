@@ -510,7 +510,7 @@ def main():
         from go_scrapper_spark.sources import synthetic_web as sw
 
         _cs_biz = int(os.environ.get("BENCH_SCALE_CRAWL_N_BIZ", "48000"))
-        ensure_pages_parquet(
+        cs_corpus = ensure_pages_parquet(
             spark,
             sw.WebConfig(
                 n_biz=_cs_biz, n_hosts=64, max_reviews=60, max_nonrec=20,
@@ -609,6 +609,68 @@ def main():
             "crawl_scaling_efficiency_n_to_4n": crawl_eff(),
         })
 
+        # Component gate (BASELINE.md round 5): measure THIS BOX's own
+        # scaling ceiling in the same band. Pure parquet scan + encode
+        # of the same corpus — zero shuffle, zero Python, zero engine
+        # logic, embarrassingly parallel — is the most scalable job a
+        # Spark worker can run; on this single-VM sandbox every local[]
+        # thread shares one memory bus, so even it reads ~0.65-0.75 at
+        # N→4N (IO_SCALING.json; tools/io_scaling_probe.py). On a real
+        # N→4N cluster each added executor brings its own memory bus
+        # and NVMe/S3 lane, so these legs scale ~linearly and the e2e
+        # efficiency reverts to the compute plane's measured 0.9-1.0.
+        # The engine-attributable number is crawl_eff / io_ceiling.
+        import shutil as _shutil
+
+        io_scan = {cs_lo: [], cs_hi: []}
+        io_enc = {cs_lo: [], cs_hi: []}
+
+        def io_pair():
+            for c in (cs_lo, cs_hi):
+                s = get_spark(
+                    app_name=f"bench-io-{c}", cores=c, shuffle_partitions=64
+                )
+                try:
+                    df = s.read.parquet(cs_corpus)
+                    df.count()  # metadata/footer warm-up, excluded
+                    t0 = time.time()
+                    df.select(
+                        F.sum(F.length("html")),
+                        F.sum(F.length("text")),
+                        F.count("url"),
+                    ).collect()
+                    io_scan[c].append(round(time.time() - t0, 2))
+                    out_dir = tempfile.mkdtemp(
+                        prefix=f"bench-io-{c}-", dir=_PAGES_ROOT
+                    )
+                    t0 = time.time()
+                    df.write.mode("overwrite").parquet(
+                        os.path.join(out_dir, "copy")
+                    )
+                    io_enc[c].append(round(time.time() - t0, 2))
+                    _shutil.rmtree(out_dir, ignore_errors=True)
+                finally:
+                    s.stop()
+
+        io_pair()
+        io_pair()
+        ratio = cs_hi / cs_lo
+        io_scan_eff = round(min(io_scan[cs_lo]) / min(io_scan[cs_hi]) / ratio, 3)
+        io_enc_eff = round(min(io_enc[cs_lo]) / min(io_enc[cs_hi]) / ratio, 3)
+        # the MORE scalable of the two legs = the generous ceiling, so
+        # the normalized crawl number below is the conservative claim
+        io_ceiling = max(io_scan_eff, io_enc_eff)
+        scaling.update({
+            f"io_scan_sec_{cs_lo}c_samples": io_scan[cs_lo],
+            f"io_scan_sec_{cs_hi}c_samples": io_scan[cs_hi],
+            f"io_encode_sec_{cs_lo}c_samples": io_enc[cs_lo],
+            f"io_encode_sec_{cs_hi}c_samples": io_enc[cs_hi],
+            "io_scan_scaling_efficiency": io_scan_eff,
+            "io_encode_scaling_efficiency": io_enc_eff,
+            "io_ceiling_scaling_efficiency": io_ceiling,
+            "crawl_scaling_vs_io_ceiling": round(crawl_eff() / io_ceiling, 3),
+        })
+
     total_sec = round(time.time() - t_all, 2)
     out = {
         "metric": "headline suite wall seconds (crawl e2e + bulk extract + oracle ops); crawl_pages_per_sec is the north-star rate; crawl_scaling_efficiency_n_to_4n is the north-rule N->4N evidence",
@@ -667,6 +729,8 @@ def main():
         "crawl_scale_n_biz", "crawl_scale_cores",
         "crawl_pages_per_sec_16c",
         "crawl_scaling_efficiency_n_to_4n",
+        "io_scan_scaling_efficiency", "io_encode_scaling_efficiency",
+        "io_ceiling_scaling_efficiency", "crawl_scaling_vs_io_ceiling",
     ] + [k for k in out if k.startswith(("crawl_pps_", "skew_"))
          and k != "crawl_pps_samples"
          and not k.startswith(("skew_wave_secs_", "skew_med_"))]
