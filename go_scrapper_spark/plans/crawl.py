@@ -80,6 +80,14 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_expected_per_bucket: int = 100_000
     bloom_fpp: float = 0.01
+    # which approximate seen-filter backs the pre-pass when use_bloom
+    # is on: "bloom" (operators/seenfilter.py, smallest bytes/key) or
+    # "cuckoo" (operators/cuckoofilter.py, 16-bit fingerprints,
+    # DELETION-capable — expire_urls() can retract keys in place; the
+    # bloom backend must rebuild from the surviving frontier instead).
+    # Both share the cogroup check shape and the no-false-negative
+    # contract, so the fetch log is identical across all three modes.
+    seen_backend: str = "bloom"
     # cross-request cookie carry (S10 fidelity; reference
     # collyfunc.go:48,99-101,161-163): the reference keeps ONE global
     # []*http.Cookie that every response overwrites with its host's jar
@@ -288,6 +296,72 @@ class CrawlEngine:
 
     # --------------------------------------------------------------- superstep
 
+    def _seen_ops(self):
+        """The seen-filter backend behind cfg.seen_backend, as four
+        uniform hooks (build / merge-delta / filter / snapshot table
+        name). Both backends take and return one row per bucket and
+        share the cogroup membership-check shape, so every call site
+        is backend-blind."""
+        cfg = self.cfg
+        if cfg.seen_backend == "cuckoo":
+            from go_scrapper_spark.operators import cuckoofilter as ckf
+
+            return {
+                "build": lambda seen: ckf.build_cuckoos(
+                    seen, cfg.bloom_expected_per_bucket
+                ),
+                "merge": lambda tbl, delta: ckf.merge_cuckoo_delta(
+                    tbl, delta, cfg.bloom_expected_per_bucket
+                ),
+                "filter": ckf.filter_unseen_cuckoo_join,
+                "table": "seen_cuckoo",
+            }
+        if cfg.seen_backend != "bloom":
+            raise ValueError(
+                f"unknown seen_backend {cfg.seen_backend!r}"
+                " (expected 'bloom' or 'cuckoo')"
+            )
+        from go_scrapper_spark.operators import seenfilter as sfilter
+
+        return {
+            "build": lambda seen: sfilter.build_blooms(
+                seen, cfg.bloom_expected_per_bucket, cfg.bloom_fpp
+            ),
+            "merge": lambda tbl, delta: sfilter.merge_bloom_delta(
+                tbl,
+                delta,
+                shape=sfilter.bloom_params(
+                    cfg.bloom_expected_per_bucket, cfg.bloom_fpp
+                ),
+            ),
+            "filter": sfilter.filter_unseen_join,
+            "table": "seen_bloom",
+        }
+
+    def _ensure_seen_filter(self, frontier: DataFrame) -> None:
+        """Load the committed seen-filter table (resume) or build it
+        from the current frontier (fresh start) — both fully
+        distributed, backend-blind via _seen_ops."""
+        import os
+
+        cfg = self.cfg
+        ops = self._seen_ops()
+        latest = self.store.latest_wave()
+        snap_seen = (
+            os.path.join(self.store._snap_dir(latest), ops["table"])
+            if latest is not None
+            else None
+        )
+        if snap_seen and os.path.exists(snap_seen):
+            seen_df = self.store.read_snapshot_table(latest, ops["table"])
+        else:
+            seen0 = frontier.select(
+                "url_hash",
+                F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            )
+            seen_df = ops["build"](seen0)
+        self._bloom_df = seen_df.localCheckpoint(eager=True)
+
     def run_superstep(self, wave_id: int) -> dict:
         """One wave. Returns per-wave metric dict; 'fetched'==0 with
         'pending'==0 means the crawl is complete."""
@@ -299,29 +373,7 @@ class CrawlEngine:
                 self.store.latest_wave(), "frontier"
             )
         if cfg.use_bloom and self._bloom_df is None:
-            # resume path: reuse the committed bloom table; fresh start:
-            # build from the current frontier — both fully distributed
-            import os
-
-            from go_scrapper_spark.operators import seenfilter as sfilter
-
-            latest = self.store.latest_wave()
-            snap_bloom = (
-                os.path.join(self.store._snap_dir(latest), "seen_bloom")
-                if latest is not None
-                else None
-            )
-            if snap_bloom and os.path.exists(snap_bloom):
-                bloom_df = self.store.read_snapshot_table(latest, "seen_bloom")
-            else:
-                seen0 = frontier.select(
-                    "url_hash",
-                    F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
-                )
-                bloom_df = sfilter.build_blooms(
-                    seen0, cfg.bloom_expected_per_bucket, cfg.bloom_fpp
-                )
-            self._bloom_df = bloom_df.localCheckpoint(eager=True)
+            self._ensure_seen_filter(frontier)
 
         if cfg.cookies and self._cookie_df is None:
             # resume path: reuse the committed jar; fresh start: empty
@@ -494,26 +546,20 @@ class CrawlEngine:
         self._pending_mats.append(new_rows)
 
         if cfg.use_bloom and self._bloom_df is not None:
-            # fold this wave's delta into the bloom table — fully
-            # distributed (groupBy bucket + per-bucket numpy OR inside
-            # merge_bloom_delta); no url_hash ever reaches the driver.
-            # The eager localCheckpoint truncates lineage so the bloom
-            # table doesn't accrete a per-wave plan chain.
-            from go_scrapper_spark.operators import seenfilter as sfilter
-
+            # fold this wave's delta into the seen-filter table — fully
+            # distributed (groupBy bucket + a per-bucket numpy kernel
+            # inside the backend's merge); no url_hash ever reaches the
+            # driver. The eager localCheckpoint truncates lineage so
+            # the table doesn't accrete a per-wave plan chain.
             delta = new_rows.select(
                 "url_hash",
                 F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
             )
-            merged = sfilter.merge_bloom_delta(
-                self._bloom_df,
-                delta,
-                shape=sfilter.bloom_params(
-                    cfg.bloom_expected_per_bucket, cfg.bloom_fpp
-                ),
+            merged = self._seen_ops()["merge"](
+                self._bloom_df, delta
             ).localCheckpoint(eager=True)
             # graveyard, not immediate unpersist: an in-flight async
-            # commit may still be writing the superseded bloom table
+            # commit may still be writing the superseded filter table
             self._frontier_history.append(self._bloom_df)
             self._bloom_df = merged
 
@@ -697,8 +743,8 @@ class CrawlEngine:
             )
             tables.update(self._inc_tables())
             if cfg.use_bloom and self._bloom_df is not None:
-                # bloom table rides the snapshot → resume skips rebuild
-                tables["seen_bloom"] = self._bloom_df
+                # filter table rides the snapshot → resume skips rebuild
+                tables[self._seen_ops()["table"]] = self._bloom_df
             if cfg.cookies and self._cookie_df is not None:
                 # cookie jar rides the snapshot → resume carries state
                 tables["cookies"] = self._cookie_df
@@ -775,6 +821,143 @@ class CrawlEngine:
         total["wall_sec"] = time.time() - t0
         return total
 
+    # ----------------------------------------------------- recrawl / expiry
+    #
+    # The two maintenance primitives of an incremental crawler, both
+    # committed as their own snapshot so a later run()/resume continues
+    # from the edited state:
+    #
+    #   refresh_urls — re-fetch KNOWN pages in place (state→pending,
+    #     attempt→0). Seen-membership is untouched: the page is
+    #     re-fetched but its outlinks still dedup against the filter.
+    #     Works with every seen backend (the filter never learns).
+    #
+    #   expire_urls — FORGET pages: rows leave the frontier and their
+    #     keys leave the seen filter, so the next time any fetched page
+    #     links to them they are re-admitted as fresh discoveries.
+    #     This is the op that needs a deletion-capable filter: the
+    #     cuckoo backend retracts the keys in place
+    #     (cuckoofilter.delete_hashes); the bloom backend cannot unset
+    #     bits and rebuilds from the surviving frontier instead (same
+    #     result, full-scan cost — the documented reason seen_backend=
+    #     "cuckoo" exists).
+
+    def _current_frontier(self) -> DataFrame:
+        if self._frontier_cache is not None:
+            return self._frontier_cache
+        latest = self.store.latest_wave()
+        if latest is None:
+            raise ValueError("no committed snapshot to maintain")
+        return self.store.read_snapshot_table(latest, "frontier")
+
+    def _maintenance_commit(self, frontier: DataFrame) -> int:
+        """Commit an edited frontier (+ carried filter/cookie/inc
+        state) as snapshot latest+1 and make it the live frontier."""
+        if self._inc_hashes is None:
+            self._load_inc_state()
+        if self.cfg.use_bloom and self._bloom_df is None:
+            # carry the committed filter into the maintenance snapshot
+            # (membership is unchanged on this path — refresh edits
+            # only state/attempt; expire sets _bloom_df itself first)
+            self._ensure_seen_filter(frontier)
+        wave = (self.store.latest_wave() or 0) + 1
+        frontier = frontier.localCheckpoint(eager=True)
+        if self._frontier_cache is not None:
+            self._frontier_history.append(self._frontier_cache)
+        self._frontier_cache = frontier
+        tables = {"frontier": frontier, **self._inc_tables()}
+        if self.cfg.use_bloom and self._bloom_df is not None:
+            tables[self._seen_ops()["table"]] = self._bloom_df
+        if self.cfg.cookies and self._cookie_df is not None:
+            tables["cookies"] = self._cookie_df
+        self._submit_commit(wave, tables)
+        self._join_commit()
+        return wave
+
+    def _target_hashes(self, urls_df: DataFrame) -> DataFrame:
+        """(url_hash) keys for a caller's url column, canonicalized the
+        same way the frontier keys were."""
+        return (
+            urls_df.select(canonicalize_udf(F.col("url")).alias("url"))
+            .dropDuplicates(["url"])
+            .select(F.xxhash64("url").alias("url_hash"))
+        )
+
+    def refresh_urls(self, urls_df: DataFrame) -> int:
+        """Schedule known URLs for re-fetch; returns how many frontier
+        rows were flipped back to pending."""
+        frontier = self._current_frontier()
+        targets = self._target_hashes(urls_df)
+        n = frontier.join(targets, "url_hash", "left_semi").count()
+        hit = F.col("_refresh").isNotNull()
+        new_frontier = (
+            frontier.join(
+                targets.withColumn("_refresh", F.lit(True)),
+                "url_hash",
+                "left",
+            )
+            .withColumn(
+                "state",
+                F.when(hit, F.lit("pending")).otherwise(F.col("state")),
+            )
+            .withColumn(
+                "attempt",
+                F.when(hit, F.lit(0)).otherwise(F.col("attempt")),
+            )
+            .drop("_refresh")
+        )
+        self._maintenance_commit(new_frontier)
+        return n
+
+    def expire_urls(self, urls_df: DataFrame) -> int:
+        """Forget URLs entirely (frontier + seen filter); returns how
+        many frontier rows were removed. Future discoveries of these
+        URLs re-enter the crawl as if never seen."""
+        cfg = self.cfg
+        frontier = self._current_frontier()
+        targets = self._target_hashes(urls_df)
+        # only keys actually present leave the filter — the cuckoo
+        # delete contract forbids removing a never-inserted key (it
+        # could evict an unrelated colliding fingerprint); checkpoint
+        # pins the removal set before the frontier it derives from is
+        # swapped out underneath it
+        removals = (
+            frontier.join(targets, "url_hash", "left_semi")
+            .select(
+                "url_hash",
+                F.pmod("url_hash", F.lit(cfg.n_buckets))
+                .cast("int")
+                .alias("bucket"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = removals.count()
+        new_frontier = frontier.join(
+            removals.select("url_hash").hint("shuffle_hash"),
+            "url_hash",
+            "left_anti",
+        )
+        if cfg.use_bloom:
+            if self._bloom_df is None:
+                self._ensure_seen_filter(frontier)
+            if cfg.seen_backend == "cuckoo":
+                from go_scrapper_spark.operators import cuckoofilter as ckf
+
+                updated = ckf.delete_hashes(self._bloom_df, removals)
+            else:
+                updated = self._seen_ops()["build"](
+                    new_frontier.select(
+                        "url_hash",
+                        F.pmod("url_hash", F.lit(cfg.n_buckets))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                )
+            self._frontier_history.append(self._bloom_df)
+            self._bloom_df = updated.localCheckpoint(eager=True)
+        self._maintenance_commit(new_frontier)
+        return n
+
     # --------------------------------------------------------------- helpers
 
     def _new_frontier_rows(
@@ -843,9 +1026,7 @@ class CrawlEngine:
         # The bloom state is a TABLE cogrouped on bucket (no driver
         # dict, no closure-captured bytes).
         if cfg.use_bloom and self._bloom_df is not None:
-            from go_scrapper_spark.operators.seenfilter import filter_unseen_join
-
-            cand = filter_unseen_join(
+            cand = self._seen_ops()["filter"](
                 cand, frontier.select("url_hash"), self._bloom_df, cfg.n_buckets
             )
         else:
