@@ -176,6 +176,108 @@ def parse_warc(files_df: DataFrame, id_col: str = "file_id",
     return files_df.select(id_col, bin_col).mapInPandas(gen, WARC_SCHEMA)
 
 
+def pages_to_warc(pages: DataFrame, n_files: int = 64,
+                  url_col: str = "url", ts_col: str = "warc_ts",
+                  html_col: str = "html") -> DataFrame:
+    """Distributed WARC sink — the inverse of ``warc_to_pages``: a
+    pages table (url, warc_ts, html) → (file_id, warc binary), one
+    serialized WARC blob per output file, ready for
+    ``df.write`` / object-store upload. This closes the archive-output
+    leg of the Common-Crawl loop (read WARC ✓ parse_warc; write WARC
+    here), so a crawl's fetched pages can be re-shipped in the same
+    interchange format the corpus arrived in.
+
+    Determinism (byte-reproducible output, required for the
+    round-trip oracle and for resumable re-exports):
+      - file assignment is ``xxhash64(url) % n_files`` — content-
+        addressed, no global row numbering, no single-partition sort;
+      - records within a file are sorted by url;
+      - WARC-Record-ID is derived from md5 of the url + date (no
+        wall-clock UUIDs);
+      - WARC-Date is the page's own ``warc_ts`` in ISO-8601 Zulu.
+
+    Scale shape: ONE hash shuffle on file_id (same key the blobs are
+    emitted under), then an embarrassingly parallel per-group encode;
+    group size is bounded by choosing n_files ~ corpus_bytes / 1 GB
+    (the Common-Crawl segment convention), so a 100 TB export is
+    ~100k independent 1 GB encode tasks."""
+    import hashlib
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        recs = []
+        for url, date, body in zip(pdf[url_col], pdf["_warc_date"],
+                                   pdf[html_col]):
+            body = bytes(body) if body is not None else b""
+            rid = hashlib.md5(f"{url}\n{date}".encode()).hexdigest()
+            recs.append({
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": url,
+                    "WARC-Date": date,
+                    "WARC-Record-ID": f"<urn:md5:{rid}>",
+                },
+                "payload": http_response(body),
+            })
+        return pd.DataFrame({
+            "file_id": [int(pdf["_fid"].iloc[0])],
+            "warc": [build_warc(recs)],
+        })
+
+    staged = pages.select(
+        F.col(url_col), F.col(html_col),
+        F.date_format(
+            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("_warc_date"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
+        .cast("long").alias("_fid"),
+    )
+    return staged.groupBy("_fid").applyInPandas(
+        encode, "file_id long, warc binary"
+    )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX(J)-style capture index over parsed WARC records — the
+    lookup sidecar every web archive ships next to its WARC files
+    (and what Common Crawl's cc-index is built from). One row per
+    HTTP response capture:
+
+      surt_key — canonicalized SURT form of the url: host labels
+                 reversed and comma-joined + ')' + path (scheme and
+                 'www.' prefix dropped, lowercased) — groups all
+                 captures of one page across hosts' name variants
+                 and sorts hosts hierarchically;
+      ts14     — 14-digit timestamp (yyyyMMddHHmmss) from WARC-Date;
+      url, mime, status, digest (md5 of the payload body), rec_len.
+
+    All JVM-side expressions over parse_warc output — codegen'd, no
+    Python, no shuffle (the sort is the consumer's choice; a real
+    export would write it bucketed+sorted by surt_key so lookups
+    partition-prune)."""
+    resp = records.filter(F.col("warc_type") == "response")
+    bare = F.regexp_replace(F.lower("target_uri"), r"^https?://(www\.)?", "")
+    host = F.regexp_extract(bare, r"^([^/]+)", 1)
+    path = F.regexp_replace(bare, r"^[^/]*", "")
+    return resp.select(
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","),
+            F.lit(")"),
+            F.when(path == "", "/").otherwise(path),
+        ).alias("surt_key"),
+        F.substring(
+            F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14
+        ).alias("ts14"),
+        F.col("target_uri").alias("url"),
+        F.coalesce(
+            F.regexp_extract("http_content_type", r"^([^;]+)", 1), F.lit("")
+        ).alias("mime"),
+        F.coalesce(F.col("http_status"), F.lit(-1)).cast("int").alias("status"),
+        F.coalesce(F.md5("body"), F.lit("")).alias("digest"),
+        F.col("content_length").cast("long").alias("rec_len"),
+    )
+
+
 def warc_to_pages(files_df: DataFrame, id_col: str = "file_id",
                   bin_col: str = "warc") -> DataFrame:
     """WARC blobs → the engine's pages-table shape

@@ -152,3 +152,87 @@ def test_malformed_http_status_nulls_field_keeps_record():
     assert [r["target_uri"] for r in recs] == ["https://a/weird", "https://a/after"]
     assert recs[0]["http_status"] is None
     assert recs[1]["http_status"] == 200
+
+
+def test_pages_to_warc_roundtrip_distributed(spark):
+    """pages → distributed WARC sink → parser → identical pages:
+    url, second-precision warc_ts, and every body byte (incl. the
+    \r\n\r\n-inside-body hazard and non-ASCII) survive the cycle."""
+    rows = [
+        (f"https://site{i % 3}.example.com/p/{i}",
+         f"2024-03-0{1 + i % 9}T0{i % 10}:0{i % 6}:0{i % 6}",
+         (f"<html>π-{i}\r\n\r\ntail</html>").encode())
+        for i in range(40)
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(b)) for u, t, b in rows],
+        "url string, ts string, html binary",
+    ).select(
+        "url", F.to_timestamp("ts").alias("warc_ts"), "html"
+    ).repartition(7)
+
+    files = w.pages_to_warc(pages, n_files=4)
+    got = {
+        r["url"]: (r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S"), bytes(r["html"]))
+        for r in w.warc_to_pages(files).collect()
+    }
+    assert len(got) == 40
+    for u, t, b in rows:
+        assert got[u] == (t, b)
+
+
+def test_pages_to_warc_deterministic_bytes(spark):
+    """Same input (any partitioning) → byte-identical WARC files:
+    content-addressed file assignment + in-file url sort + derived
+    record IDs leave nothing run-dependent."""
+    rows = [(f"https://h/{i}", "2024-01-01T00:00:00",
+             f"<html>{i}</html>".encode()) for i in range(20)]
+
+    def build(npart):
+        df = spark.createDataFrame(
+            [(u, t, bytearray(b)) for u, t, b in rows],
+            "url string, ts string, html binary",
+        ).select("url", F.to_timestamp("ts").alias("warc_ts"), "html") \
+         .repartition(npart)
+        return {r["file_id"]: bytes(r["warc"])
+                for r in w.pages_to_warc(df, n_files=3).collect()}
+
+    a, b = build(2), build(11)
+    assert a == b
+    assert len(a) >= 2  # actually spread across files
+
+
+def test_cdx_index_shape(spark):
+    recs = [
+        {"headers": {"WARC-Type": "response",
+                     "WARC-Target-URI": "https://www.News.Example.org/a/b?q=1",
+                     "WARC-Date": "2024-05-06T07:08:09Z",
+                     "WARC-Record-ID": "<urn:1>"},
+         "payload": w.http_response(b"<html>x</html>")},
+        {"headers": {"WARC-Type": "response",
+                     "WARC-Target-URI": "https://example.org",
+                     "WARC-Date": "2024-05-06T07:08:10Z",
+                     "WARC-Record-ID": "<urn:2>"},
+         "payload": w.http_response(b"", status=404,
+                                    content_type="text/plain; charset=utf-8")},
+        {"headers": {"WARC-Type": "request",
+                     "WARC-Target-URI": "https://example.org",
+                     "WARC-Date": "2024-05-06T07:08:10Z"},
+         "payload": b"GET / HTTP/1.1\r\n\r\n"},
+    ]
+    df = spark.createDataFrame(
+        [(0, bytearray(w.build_warc(recs)))], "file_id long, warc binary"
+    )
+    rows = {r["url"]: r for r in w.cdx_index(w.parse_warc(df)).collect()}
+    assert len(rows) == 2  # request records are not captures
+    a = rows["https://www.News.Example.org/a/b?q=1"]
+    assert a["surt_key"] == "org,example,news)/a/b?q=1"  # www. dropped, host reversed
+    assert a["ts14"] == "20240506070809"
+    assert a["mime"] == "text/html"
+    assert a["status"] == 200
+    b = rows["https://example.org"]
+    assert b["surt_key"] == "org,example)/"  # empty path → '/'
+    assert b["mime"] == "text/plain"  # charset parameter stripped
+    assert b["status"] == 404
+    import hashlib
+    assert b["digest"] == hashlib.md5(b"").hexdigest()

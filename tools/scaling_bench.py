@@ -57,6 +57,10 @@ def run_at(cores: int, n_biz: int) -> dict:
 
 
 def main():
+    # bench.py rewrites BENCH_FULL.json on every leg; preserve the
+    # flagship full-suite artifact and restore it when we're done
+    _full = os.path.join(REPO, "BENCH_FULL.json")
+    _saved = open(_full).read() if os.path.exists(_full) else None
     n_biz = int(os.environ.get("BENCH_N_BIZ", "48000"))
     pairs = int(os.environ.get("SCALE_PAIRS", "2"))
     best: dict[int, dict] = {}
@@ -70,6 +74,8 @@ def main():
             if cur is None or r["extract_pages_per_sec"] > best[cores].get("extract_pages_per_sec", 0):
                 best[cores]["extract_pages_per_sec"] = r["extract_pages_per_sec"]
             print(json.dumps({"cores": cores, **r}), flush=True)
+    if _saved is not None:
+        open(_full, "w").write(_saved)
     s, b = best[CORES_SMALL], best[CORES_BIG]
     crawl_eff = b["crawl_pages_per_sec"] / s["crawl_pages_per_sec"] / 4
     ext_eff = b["extract_pages_per_sec"] / s["extract_pages_per_sec"] / 4
@@ -112,7 +118,9 @@ Crawl e2e at sandbox corpus sizes is bound by per-wave control-plane costs
 (driver orchestration + small-table shuffles, O(1) in corpus size); since
 wave payload grows with the frontier while that cost doesn't, crawl-e2e
 scaling converges to the data-plane number at 10^10-URL scale. Raw numbers
-in BENCH_SCALING.json.
+in BENCH_SCALING.json. See the round-5 component-gated derivation section
+at the end of this file for the attribution of the residual to the VM's
+single memory bus (pure-I/O ceiling in IO_SCALING.json).
 """
     # replace only the measured block, up to the next section header —
     # later sections (e.g. per-round measurement notes) are preserved
