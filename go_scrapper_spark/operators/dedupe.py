@@ -256,3 +256,103 @@ def simhash(docs: DataFrame, bits: int = 16,
         F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(bits)
     )
     return agg.select("doc", fp.cast("long").alias("simhash"))
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n",
+                    keep: str = "first") -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet / RefinedWeb line-dedup
+    stage): split each document into paragraphs on ``sep``, drop
+    paragraphs whose trimmed content repeats across the corpus, and
+    reassemble the cleaned documents. The reference dedups whole
+    records by content hash (main.go:1009-1046); at training-corpus
+    scale the boilerplate that survives whole-doc dedup (nav bars,
+    cookie banners, footers) repeats at *paragraph* granularity, so
+    this is the standard next stage after exact dedup.
+
+    ``keep="first"`` keeps one canonical copy of each repeated
+    paragraph — the globally first occurrence by (doc, position) —
+    and drops the rest (CCNet semantics). ``keep="unique"`` drops
+    every occurrence of any repeated paragraph (RefinedWeb-strict).
+    Empty/whitespace-only paragraphs are dropped unconditionally —
+    *before* the shuffle, so a corpus full of blank lines never
+    funnels into one hot md5('') window key; a document with no
+    non-empty paragraphs therefore disappears from the output (it
+    carries no trainable content).
+
+    Output: one row per input document —
+      (id, clean_text, n_paras, n_kept); clean_text is the kept
+    paragraphs re-joined with ``sep`` in original order ('' when
+    nothing survives), so downstream stages see the same table shape.
+
+    Scale shape: posexplode is pipeline-local (no shuffle); the
+    first-occurrence window is ONE hash shuffle on the paragraph
+    md5 (the same key an exact-dedup group-by would use — skew is
+    bounded because identical boilerplate hashes spread over
+    #distinct-paragraph keys, and a single hot paragraph is still
+    one key ≪ executor memory: only (doc, idx) pairs travel, never
+    the text twice); the reassembly group-by is ONE shuffle on the
+    doc id. No joins, no Python, all codegen'd.
+
+    Determinism: canonical copy = min over the packed
+    (doc_id·2^20 + idx) BIGINT — exact order-preserving packing,
+    loud raise_error on overflow (idx < 2^20 paragraphs/doc,
+    doc_id < 2^43) per the round-5 frontier-pack convention."""
+    if keep not in ("first", "unique"):
+        raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
+
+    paras = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "raw"),
+    ).select(
+        "doc", "idx", F.trim("raw").alias("para")
+    ).filter(F.col("para") != "")
+
+    in_bounds = (
+        (F.col("idx") < F.lit(1 << 20))
+        & (F.col("doc") >= 0) & (F.col("doc") < F.lit(1 << 43))
+    )
+    pack = F.when(
+        in_bounds, F.col("doc") * F.lit(1 << 20) + F.col("idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("paragraph_dedup pack overflow: doc="),
+                F.col("doc").cast("string"),
+                F.lit(" idx="), F.col("idx").cast("string"),
+                F.lit(" (bounds: doc<2^43, idx<2^20)"),
+            )
+        ).cast("long")
+    )
+    w = Window.partitionBy(F.md5(F.col("para").cast("binary")))
+    tagged = paras.select(
+        "doc", "idx", "para",
+        pack.alias("_pk"),
+        F.min(pack).over(w).alias("_first"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    ).withColumn(
+        "_keep",
+        (F.col("_pk") == F.col("_first")) if keep == "first"
+        else (F.col("_n") == 1),
+    )
+    return (
+        tagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"),
+                                   F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+            ).alias("clean_text"),
+        )
+        .select(F.col("doc").alias(id_col), "clean_text",
+                "n_paras", "n_kept")
+    )

@@ -347,6 +347,37 @@ FROM orders
 """
 
 
+def q_p_datetime_url(spark, sf):
+    """P10 (Go date layout → unix) and P13 (RFC-3986 canonicalization)
+    as one union-typed entry — consolidated round 5 (the mm_suite
+    pattern) to hold the registry inside the driver's 50-entry window
+    while adding dedup_paragraph; both remain value-exact."""
+    d = q_p10_date_parse(spark, sf).select(
+        F.lit("date").alias("kind"), F.col("o_orderkey").alias("key"),
+        F.col("source_date").alias("a"),
+        F.col("posted_at").cast("string").alias("b"),
+    )
+    c = q_canon_urls(spark, sf).select(
+        F.lit("canon").alias("kind"), F.col("c_custkey").alias("key"),
+        F.col("canon_url").alias("a"), F.lit("").alias("b"),
+    )
+    return d.unionByName(c)
+
+
+SQL_P_DATETIME_URL = """
+SELECT 'date' AS kind, o_orderkey AS key,
+       strftime(o_orderdate, '%-m/%-d/%Y') AS a,
+       CAST(CAST(epoch(strptime(strftime(o_orderdate, '%-m/%-d/%Y'),
+            '%-m/%-d/%Y')) AS BIGINT) AS VARCHAR) AS b
+FROM orders
+UNION ALL
+SELECT 'canon' AS kind, c_custkey AS key,
+       'https://host' || c_custkey || '.example/A/Path?a=1&b=2' AS a,
+       '' AS b
+FROM customer
+"""
+
+
 def q_p18_review_hash(spark, sf):
     """P18 review-hash (text+author branch) in pure SQL — valid because
     these names contain no JSON-escaped characters; the general case is
@@ -595,6 +626,53 @@ def q_dedup_exact(spark, sf):
 SQL_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
 FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_paragraph(spark, sf):
+    """Paragraph-level exact dedup (operators/dedupe.py
+    paragraph_dedup — the CCNet/RefinedWeb line-dedup stage): the
+    single-line documents corpus is dressed with a paragraph break
+    every 4 words (deterministic regex, both engines), then repeated
+    paragraphs are dropped corpus-wide keeping the globally first
+    occurrence by (doc_id, position); the cleaned documents are
+    reassembled in order. The oracle recomputes the whole pipeline
+    relationally in DuckDB — split, first-occurrence window over the
+    paragraph hash, ordered string_agg — so the match is value-exact
+    per document (at sf0.01: 6974 paragraphs → 6544 kept)."""
+    docs = _t(spark, sf, "documents")
+    dressed = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce("text", F.lit("")), r"((?:\S+ ){4})", "$1\n"
+        ).alias("text"),
+    )
+    return dedupe.paragraph_dedup(dressed)
+
+
+SQL_DEDUP_PARAGRAPH = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text,''), '((\S+ ){4})',
+                        '\1' || chr(10), 'g') AS t
+  FROM documents
+), parts AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ps FROM d
+), p AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS idx, trim(ps[u.i + 1]) AS para
+  FROM parts CROSS JOIN unnest(range(0, length(ps))) AS u(i)
+  WHERE trim(ps[u.i + 1]) <> ''
+), m AS (
+  SELECT doc_id, idx, para, doc_id * 1048576 + idx AS pk,
+         min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(para)) AS fp
+  FROM p
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN pk = fp THEN para END,
+                           chr(10) ORDER BY idx), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(CASE WHEN pk = fp THEN 1 END) AS BIGINT) AS n_kept
+FROM m GROUP BY doc_id
 """
 
 
@@ -1708,8 +1786,9 @@ QUERIES = {
     "a3_greatest": (q_a3_greatest, SQL_A3),
     "a4_histogram": (q_a4_histogram, SQL_A4),
     "a5_rate_accounting": (q_a5_rate_accounting, SQL_A5),
-    "p10_date_parse": (q_p10_date_parse, SQL_P10),
-    "p13_canonicalize": (q_canon_urls, SQL_CANON),
+    # round 5: p10_date_parse + p13_canonicalize consolidated (same
+    # two checks, value-exact) to make window room for dedup_paragraph
+    "p_datetime_url": (q_p_datetime_url, SQL_P_DATETIME_URL),
     "s9_robots_policy": (q_robots_policy, SQL_ROBOTS_POLICY),
     "sitemap_seeds": (q_sitemap_seeds, SQL_SITEMAP_SEEDS),
     "robots_sitemap_discovery": (q_robots_sitemap_discovery, _sql_robots_sitemaps()),
@@ -1719,6 +1798,7 @@ QUERIES = {
     "cdx_index": (q_cdx_index, _sql_cdx_index()),
     "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

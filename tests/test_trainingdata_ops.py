@@ -394,3 +394,52 @@ def test_decode_image_real_reads_actual_dimensions():
 def test_decode_image_real_raises_without_decoder():
     with _pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG\r\n")
+
+
+def test_paragraph_dedup_first_vs_unique(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta\ncookie banner\nunique zero"),
+         (1, "cookie banner\nmiddle one\ncookie banner"),
+         (2, "  cookie banner \n\nunique two"),
+         (3, "")],
+        "doc_id long, text string")
+    first = {r["doc_id"]: r for r in
+             dedupe.paragraph_dedup(docs, keep="first").collect()}
+    # globally first occurrence (doc 0, idx 1) survives; later ones drop
+    assert first[0]["clean_text"] == "alpha beta\ncookie banner\nunique zero"
+    assert first[1]["clean_text"] == "middle one"
+    assert (first[1]["n_paras"], first[1]["n_kept"]) == (3, 1)
+    # whitespace-only paragraph dropped, repeated one trimmed+matched
+    assert first[2]["clean_text"] == "unique two"
+    # a document with no non-empty paragraphs disappears (documented)
+    assert 3 not in first
+
+    uniq = {r["doc_id"]: r for r in
+            dedupe.paragraph_dedup(docs, keep="unique").collect()}
+    assert uniq[0]["clean_text"] == "alpha beta\nunique zero"
+    assert uniq[1]["clean_text"] == "middle one"
+
+
+def test_paragraph_dedup_order_preserved_and_idempotent(spark):
+    text = "\n".join(f"para {i}" for i in range(50))
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string") \
+        .repartition(5)
+    out = dedupe.paragraph_dedup(docs).collect()[0]
+    assert out["clean_text"] == text  # all unique → identity, in order
+    again = dedupe.paragraph_dedup(
+        spark.createDataFrame([(7, out["clean_text"])],
+                              "doc_id long, text string")).collect()[0]
+    assert again["clean_text"] == text
+
+
+def test_paragraph_dedup_pack_overflow_raises(spark):
+    docs = spark.createDataFrame(
+        [(1 << 43, "over the doc-id bound")], "doc_id long, text string")
+    with pytest.raises(Exception, match="pack overflow"):
+        dedupe.paragraph_dedup(docs).collect()
+
+
+def test_paragraph_dedup_rejects_bad_mode(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedupe.paragraph_dedup(docs, keep="all")
