@@ -615,6 +615,37 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+def q_a_meta_suite(spark, sf):
+    """A3 (max-of fixup) + A4 (histogram shape) as one union-typed
+    entry — consolidated round 5 (mm_suite pattern) to make window
+    room for extract_main_content; both checks stay value-exact."""
+    a3 = q_a3_greatest(spark, sf).select(
+        F.lit("a3").alias("kind"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.col("adj_cents").alias("v1"),
+        F.lit(-1).cast("long").alias("v2"),
+    )
+    a4 = q_a4_histogram(spark, sf).select(
+        F.lit("a4").alias("kind"), F.col("c_mktsegment").alias("key"),
+        F.col("total_reviews").alias("v1"), F.col("sum_bal_cents").alias("v2"),
+    )
+    return a3.unionByName(a4)
+
+
+SQL_A_META_SUITE = """
+SELECT 'a3' AS kind, CAST(o_orderkey AS VARCHAR) AS key,
+       greatest(CAST(round(o_totalprice*100) AS BIGINT),
+                CAST(10000000 AS BIGINT)) AS v1,
+       CAST(-1 AS BIGINT) AS v2
+FROM orders
+UNION ALL
+SELECT 'a4' AS kind, c_mktsegment AS key,
+       CAST(count(*) AS BIGINT) AS v1,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS v2
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 # =============================================================================
 # Group B — training-data pipeline operators (documents / embeddings)
 # =============================================================================
@@ -626,6 +657,84 @@ def q_dedup_exact(spark, sf):
 SQL_DEDUP_EXACT = """
 SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
 FROM documents GROUP BY 1
+"""
+
+
+def q_extract_main_content(spark, sf):
+    """Boilerplate removal (functions/boilerplate.py — block split +
+    integer link-density filter, all JVM expressions): each document
+    is dressed as a page with a link-dense nav, an h1, the article
+    body, an all-anchor promo div, a short footer, plus script/style/
+    comment noise; the operator must keep exactly the h1 + body and
+    drop the rest. The oracle recomputes the whole pipeline
+    relationally in DuckDB with the same RE2-safe regexes (no
+    backreferences), so the match is value-exact per page including
+    the yield metrics."""
+    from go_scrapper_spark.functions.boilerplate import extract_main_content
+
+    docs = _t(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><style>p {}</style>'
+              '<script>var x = 1;</script></head><body>'
+              '<nav><a href="/">home</a> <a href="/s">'),
+        F.substring(t, 1, 30),
+        F.lit('</a></nav><h1>'), F.substring(t, 1, 40),
+        F.lit('</h1><p>'), t,
+        F.lit('</p><div class="promo"><a href="/buy">'),
+        F.substring(t, 1, 60),
+        F.lit('</a></div><footer>(c) corp</footer></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_main_content(pages, id_col="doc_id")
+
+
+SQL_EXTRACT_MAIN_CONTENT = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><style>p {}</style><script>var x = 1;</script></head><body>'
+         || '<nav><a href="/">home</a> <a href="/s">'
+         || substr(coalesce(text,''), 1, 30) || '</a></nav>'
+         || '<h1>' || substr(coalesce(text,''), 1, 40) || '</h1>'
+         || '<p>' || coalesce(text,'') || '</p>'
+         || '<div class="promo"><a href="/buy">'
+         || substr(coalesce(text,''), 1, 60) || '</a></div>'
+         || '<footer>(c) corp</footer></body></html>' AS html
+  FROM documents),
+cleaned AS (
+  SELECT doc_id,
+         regexp_replace(html,
+           '(?is)<script\b[^>]*>.*?</script>|(?is)<style\b[^>]*>.*?</style>|(?is)<noscript\b[^>]*>.*?</noscript>|(?s)<!--.*?-->',
+           ' ', 'g') AS h
+  FROM pages),
+parts AS (
+  SELECT doc_id, string_split_regex(h,
+    '(?i)</?(?:p|div|section|article|main|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|header|footer|nav|aside|blockquote|form|fieldset|figure|figcaption|pre|hr)\b[^>]*>|(?i)<br\s*/?>'
+  ) AS bs FROM cleaned),
+blocks AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+         trim(regexp_replace(regexp_replace(bs[u.i + 1],
+              '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS text,
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(bs[u.i + 1], '(?is)<a\b[^>]*>(.*?)</a>', 1),
+             x -> length(trim(regexp_replace(regexp_replace(x,
+                  '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)
+           AS link_chars
+  FROM parts CROSS JOIN unnest(range(0, length(bs))) AS u(i)),
+scored AS (
+  SELECT doc_id, idx, text, CAST(length(text) AS BIGINT) AS tl,
+         (length(text) >= 25 AND link_chars * 100 <= 33 * length(text))
+           AS good
+  FROM blocks WHERE text <> '')
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN good THEN text END,
+                           chr(10) ORDER BY idx), '') AS main_text,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(CASE WHEN good THEN 1 END) AS BIGINT) AS n_good,
+       CAST(sum(tl) AS BIGINT) AS total_chars,
+       CAST(coalesce(sum(CASE WHEN good THEN tl ELSE 0 END), 0) AS BIGINT)
+         AS kept_chars
+FROM scored GROUP BY doc_id
 """
 
 
@@ -1783,8 +1892,9 @@ QUERIES = {
     "u1_union_streams": (q_u1_union_streams, SQL_U1),
     "u2_distinct": (q_u2_distinct, SQL_U2),
     "w1_global_topk": (q_w1_global_topk, SQL_W1),
-    "a3_greatest": (q_a3_greatest, SQL_A3),
-    "a4_histogram": (q_a4_histogram, SQL_A4),
+    # round 5: a3_greatest + a4_histogram consolidated (both checks
+    # intact, value-exact) to make window room for extract_main_content
+    "a_meta_suite": (q_a_meta_suite, SQL_A_META_SUITE),
     "a5_rate_accounting": (q_a5_rate_accounting, SQL_A5),
     # round 5: p10_date_parse + p13_canonicalize consolidated (same
     # two checks, value-exact) to make window room for dedup_paragraph
@@ -1799,6 +1909,7 @@ QUERIES = {
     "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "extract_main_content": (q_extract_main_content, SQL_EXTRACT_MAIN_CONTENT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
