@@ -1570,7 +1570,7 @@ _WARC_SPECS = [
      "2024-02-02T00:00:02Z", 200, "text/html", b""),
 ]
 
-_WARC_FIXTURE = "/tmp/gss_expected_warc_parse_v1.parquet"
+_WARC_FIXTURE = "/tmp/gss_expected_warc_parse_v2.parquet"
 
 
 def _warc_blobs():
@@ -1633,10 +1633,19 @@ def _ensure_warc_fixture() -> str:
         # dtype-class compare (the HUGEINT gotcha's cousin)
         rows["http_status"].append(status if status is not None else -1)
         rows["http_content_type"].append(ctype if ctype is not None else "")
+        # response: body = HTTP payload body; other types carry no
+        # HTTP envelope, so the raw payload IS the body (WET reader
+        # contract) — mirror split_warc_records exactly
+        if wtype == "response":
+            eff = body
+        elif wtype == "request":
+            eff = b"GET /page1 HTTP/1.1\r\nHost: h1\r\n\r\n"
+        else:
+            eff = b"via: synthetic"
         rows["body_md5"].append(
-            hashlib.md5(body).hexdigest() if body is not None else ""
+            hashlib.md5(eff).hexdigest() if eff is not None else ""
         )
-        rows["body_len"].append(len(body) if body is not None else -1)
+        rows["body_len"].append(len(eff) if eff is not None else -1)
     table = pa.table({
         "file_id": pa.array(rows["file_id"], pa.int64()),
         "record_id": pa.array(rows["record_id"], pa.string()),

@@ -116,7 +116,10 @@ def split_warc_records(blob: bytes) -> list[dict]:
             "payload": payload,
             "http_status": None,
             "http_content_type": None,
-            "body": None,
+            # non-response records (conversion/metadata/request/...)
+            # carry no HTTP envelope: the payload IS the body — this
+            # is what lets wet_to_docs read WET conversion records
+            "body": payload,
         }
         if rec["warc_type"] == "response" and payload[:5] == b"HTTP/":
             hend = payload.find(CRLF + CRLF)
@@ -234,6 +237,71 @@ def pages_to_warc(pages: DataFrame, n_files: int = 64,
     )
     return staged.groupBy("_fid").applyInPandas(
         encode, "file_id long, warc binary"
+    )
+
+
+def pages_to_wet(pages: DataFrame, n_files: int = 64,
+                 url_col: str = "url", ts_col: str = "warc_ts",
+                 text_col: str = "text") -> DataFrame:
+    """WET sink — Common Crawl's extracted-text companion format: one
+    WARC *conversion* record per page, payload = plain UTF-8 text (no
+    HTTP envelope), Content-Type text/plain. This is the format the
+    text-only consumers (CCNet and most LLM-corpus pipelines) read
+    instead of the full WARC, so the engine can ship its
+    main-content-extracted corpus in the ecosystem's interchange shape.
+
+    Same determinism contract and scale shape as ``pages_to_warc``:
+    content-addressed file assignment (xxhash64(url) % n_files),
+    in-file url sort, derived record IDs — byte-identical output under
+    any input partitioning; ONE hash shuffle then embarrassingly
+    parallel per-file encodes."""
+    import hashlib
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        recs = []
+        for url, date, text in zip(pdf[url_col], pdf["_warc_date"],
+                                   pdf[text_col]):
+            rid = hashlib.md5(
+                f"{url}\n{date}\nconversion".encode()
+            ).hexdigest()
+            recs.append({
+                "headers": {
+                    "WARC-Type": "conversion",
+                    "WARC-Target-URI": url,
+                    "WARC-Date": date,
+                    "WARC-Record-ID": f"<urn:md5:{rid}>",
+                    "Content-Type": "text/plain",
+                },
+                "payload": (text or "").encode("utf-8"),
+            })
+        return pd.DataFrame({
+            "file_id": [int(pdf["_fid"].iloc[0])],
+            "warc": [build_warc(recs)],
+        })
+
+    staged = pages.select(
+        F.col(url_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.date_format(
+            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).alias("_warc_date"),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
+        .cast("long").alias("_fid"),
+    )
+    return staged.groupBy("_fid").applyInPandas(
+        encode, "file_id long, warc binary"
+    )
+
+
+def wet_to_docs(files_df: DataFrame, id_col: str = "file_id",
+                bin_col: str = "warc") -> DataFrame:
+    """WET blobs → (url, warc_ts, text): the conversion-record reader
+    twin of ``warc_to_pages`` (which reads the HTTP response records)."""
+    recs = parse_warc(files_df, id_col, bin_col)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.decode(F.col("body"), "UTF-8").alias("text"),
     )
 
 

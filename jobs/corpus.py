@@ -3,6 +3,23 @@
     spark-submit --py-files dist/go_scrapper_spark.zip jobs/corpus.py \
         --docs /data/documents.parquet --out /corpus [--min-tokens 20]
         [--near-dup-matches 6]
+    spark-submit ... jobs/corpus.py --warc /archive/segments.parquet \
+        --out /corpus [--wet-out /corpus-wet] ...
+
+With ``--warc`` the pipeline starts from raw web archives — the
+Common-Crawl access pattern — and runs two extra front stages:
+
+0a. archive parse   — sources/warc.py parse_warc → 200-response pages
+0b. main content    — functions/boilerplate.py extract_main_content
+                      (block + link-density boilerplate strip), then
+                      paragraph-level exact dedup
+                      (dedupe.paragraph_dedup, CCNet line-dedup) —
+                      doc_id = xxhash64(url) (content-addressed,
+                      partition-independent)
+
+``--wet-out`` additionally ships the final per-language corpus as WET
+files (WARC conversion records, pages_to_wet) — the interchange shape
+text-only consumers read.
 
 Stages (each a native declarative plan; one JSON summary line printed):
 
@@ -27,6 +44,36 @@ from __future__ import annotations
 
 import argparse
 import json
+
+
+def warc_front_end(files_df):
+    """Raw WARC blobs → documents-shaped frame (doc_id, text, url,
+    warc_ts): parse, keep 200-responses, strip boilerplate, paragraph-
+    dedup across the batch. doc_id is xxhash64(url) — deterministic
+    under any partitioning, no global row numbering."""
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.functions.boilerplate import extract_main_content
+    from go_scrapper_spark.operators.dedupe import paragraph_dedup
+    from go_scrapper_spark.sources.warc import warc_to_pages
+
+    pages = warc_to_pages(files_df)
+    main = extract_main_content(pages, id_col="url")
+    docs = (
+        pages.select("url", "warc_ts")
+        .join(main.filter(F.col("n_good") > 0), "url")
+        .select(
+            # 2^43 bound matches paragraph_dedup's pack guard
+            F.pmod(F.xxhash64("url"), F.lit(1 << 43)).alias("doc_id"),
+            F.col("main_text").alias("text"), "url", "warc_ts",
+        )
+    )
+    cleaned = paragraph_dedup(docs, sep="\n")
+    return (
+        docs.select("doc_id", "url", "warc_ts")
+        .join(cleaned, "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "url", "warc_ts")
+    )
 
 
 def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
@@ -84,8 +131,11 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
 
 def main() -> None:
     ap = argparse.ArgumentParser(prog="corpus")
-    ap.add_argument("--docs", required=True, help="documents parquet path")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="documents parquet path")
+    src.add_argument("--warc", help="parquet of (file_id, warc) blobs")
     ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--wet-out", help="also export the corpus as WET files")
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--near-dup-matches", type=int, default=6)
     args = ap.parse_args()
@@ -93,12 +143,34 @@ def main() -> None:
     from go_scrapper_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-build")
-    docs = spark.read.parquet(args.docs)
+    if args.warc:
+        docs = warc_front_end(spark.read.parquet(args.warc))
+    else:
+        docs = spark.read.parquet(args.docs)
     result, counts = build_corpus(
         spark, docs, args.min_tokens, args.near_dup_matches
     )
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)
     counts["written"] = spark.read.parquet(args.out).count()
+    if args.wet_out:
+        from pyspark.sql import functions as F
+
+        from go_scrapper_spark.sources.warc import pages_to_wet
+
+        final = spark.read.parquet(args.out)
+        wet_src = final.select(
+            (F.col("url") if "url" in final.columns else F.concat(
+                F.lit("urn:doc:"), F.col("doc_id").cast("string")
+            )).alias("url"),
+            (F.col("warc_ts") if "warc_ts" in final.columns
+             else F.timestamp_seconds(F.lit(0))).alias("warc_ts"),
+            "text",
+        )
+        n_files = max(1, min(64, counts["written"] // 256 + 1))
+        pages_to_wet(wet_src, n_files=n_files).write.mode(
+            "overwrite"
+        ).parquet(args.wet_out)
+        counts["wet_files"] = spark.read.parquet(args.wet_out).count()
     print(json.dumps(counts))
     spark.stop()
 

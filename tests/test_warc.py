@@ -38,7 +38,8 @@ def test_split_records_content_length_governs():
     assert recs[0]["http_content_type"] == "text/html"
     assert recs[0]["body"] == body
     assert recs[1]["warc_type"] == "request"
-    assert recs[1]["body"] is None
+    # no HTTP envelope on non-response records: payload IS the body
+    assert recs[1]["body"] == b"GET /x HTTP/1.1\r\n\r\n"
 
 
 def test_roundtrip_identity():
