@@ -1,0 +1,83 @@
+"""Training-data decontamination against an evaluation set.
+
+Every serious LLM corpus pipeline removes (or at least flags)
+training documents that textually overlap the benchmark/eval sets —
+the GPT-3 appendix-C / Llama "n-gram decontamination" stage: a
+training document is contaminated when it shares at least one
+normalized word n-gram with any eval document.
+
+Spark-first shape: the eval set is tiny relative to the corpus
+(thousands of rows vs 10^9), so its distinct n-gram table is
+broadcast; the corpus side explodes its shingles map-side and
+broadcast-joins — NO shuffle touches the 100 TB side until the final
+per-document tally (ONE shuffle on the doc id). All expressions are
+native SQL (the shingler is dedupe.word_shingles, codegen'd), which
+keeps the operator value-exact for the DuckDB oracle.
+
+Normalization before shingling (both sides, identical): lowercase,
+collapse whitespace runs to one space, trim. Deliberately no
+punctuation stripping — it keeps the oracle regex-free and the
+contract simple; callers wanting looser matching pre-normalize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_scrapper_spark.operators.dedupe import word_shingles
+
+
+def _norm(col: F.Column) -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(col), F.lit(r"\s+"), F.lit(" ")))
+
+
+def _shingle_set(df: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    normed = df.select(
+        F.col(id_col).alias("_id"), _norm(F.col(text_col)).alias("_t")
+    )
+    # the < n-word guard mirrors dedupe._shingle_rows: sequence(0, -k)
+    # DESCENDS in Spark, so an unguarded short doc explodes garbage
+    return (
+        normed.filter(F.size(F.split(F.col("_t"), " ")) >= n)
+        .select("_id", F.explode(word_shingles("_t", n)).alias("ngram"))
+        .filter(F.col("ngram") != "")
+    )
+
+
+def contamination_report(docs: DataFrame, eval_df: DataFrame, n: int = 8,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         eval_id_col: str = "eval_id",
+                         eval_text_col: str = "text") -> DataFrame:
+    """One row per CONTAMINATED training document:
+    (id, n_hits, n_eval_docs) — the number of distinct shared n-grams
+    and the number of distinct eval documents hit. Clean documents do
+    not appear (the report is eval-sized × hit-rate, tiny)."""
+    evals = F.broadcast(
+        _shingle_set(eval_df, eval_id_col, eval_text_col, n)
+        .withColumnRenamed("_id", "_eval_id")
+        .distinct()
+    )
+    hits = _shingle_set(docs, id_col, text_col, n).join(evals, "ngram")
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.count_distinct("ngram").alias("n_hits"),
+            F.count_distinct("_eval_id").alias("n_eval_docs"),
+        )
+        .select(F.col("_id").alias(id_col), "n_hits", "n_eval_docs")
+    )
+
+
+def decontaminate(docs: DataFrame, eval_df: DataFrame, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_id_col: str = "eval_id",
+                  eval_text_col: str = "text") -> DataFrame:
+    """The corpus minus every contaminated document (left-anti join on
+    the report — the report side is tiny, so the anti-join broadcasts
+    and the corpus never shuffles)."""
+    bad = contamination_report(
+        docs, eval_df, n, id_col, text_col, eval_id_col, eval_text_col
+    ).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")

@@ -579,6 +579,30 @@ def q_u2_distinct(spark, sf):
 SQL_U2 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
+def q_u_suite(spark, sf):
+    """U1 (stream union) + U2 (DISTINCT dedup) as one union-typed
+    entry — consolidated round 5 (mm_suite pattern) to make window
+    room for the decontaminate entry; both checks stay value-exact."""
+    u1 = q_u1_union_streams(spark, sf).select(
+        F.lit("u1").alias("kind"), F.col("entity_name").alias("a"),
+        F.col("src").alias("b"),
+    )
+    u2 = q_u2_distinct(spark, sf).select(
+        F.lit("u2").alias("kind"), F.col("l_returnflag").alias("a"),
+        F.col("l_linestatus").alias("b"),
+    )
+    return u1.unionByName(u2)
+
+
+SQL_U_SUITE = """
+SELECT 'u1' AS kind, c_name AS a, 'customer' AS b FROM customer
+UNION ALL
+SELECT 'u1' AS kind, s_name AS a, 'supplier' AS b FROM supplier
+UNION ALL
+SELECT DISTINCT 'u2' AS kind, l_returnflag AS a, l_linestatus AS b FROM lineitem
+"""
+
+
 def q_a3_greatest(spark, sf):
     """A3 max-of fixup (histogram.Total_reviews = max(total, len),
     main.go:317-319) as greatest() over integer cents."""
@@ -782,6 +806,48 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_paras,
        CAST(count(CASE WHEN pk = fp THEN 1 END) AS BIGINT) AS n_kept
 FROM m GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination (operators/decontam.py): every 25th
+    document plays the benchmark/eval set; the report lists each
+    training document sharing at least one normalized 5-gram with any
+    eval document, with the distinct-shared-ngram and distinct-eval-
+    doc tallies. Self-overlap (the eval docs are drawn from the same
+    corpus) guarantees hits; the oracle recomputes the shingle join
+    relationally in DuckDB."""
+    from go_scrapper_spark.operators.decontam import contamination_report
+
+    docs = _t(spark, sf, "documents")
+    evals = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_report(docs, evals, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH normed AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')),
+                                     '\s+', ' ', 'g')) AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, u.i AS i,
+         array_to_string(ws[u.i + 1 : u.i + 5], ' ') AS ngram
+  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM normed)
+  CROSS JOIN unnest(range(0, greatest(length(ws) - 4, 0))) AS u(i)
+  WHERE length(ws) >= 5
+), eg AS (
+  SELECT DISTINCT doc_id AS eval_id, ngram FROM grams
+  WHERE doc_id % 25 = 0 AND ngram <> ''
+), dg AS (
+  SELECT doc_id, ngram FROM grams WHERE ngram <> ''
+)
+SELECT dg.doc_id,
+       CAST(count(DISTINCT dg.ngram) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_docs
+FROM dg JOIN eg USING (ngram)
+GROUP BY dg.doc_id
 """
 
 
@@ -1898,8 +1964,9 @@ QUERIES = {
     "f5_retry_filter": (q_f5_retry_filter, SQL_F5),
     "g1_pagination_fanout": (q_g1_pagination_fanout, SQL_G1),
     "g3_probe_admission": (q_g3_probe_admission, SQL_G3),
-    "u1_union_streams": (q_u1_union_streams, SQL_U1),
-    "u2_distinct": (q_u2_distinct, SQL_U2),
+    # round 5: u1 + u2 consolidated (both checks intact, value-exact)
+    # to make window room for the decontaminate entry
+    "u_suite": (q_u_suite, SQL_U_SUITE),
     "w1_global_topk": (q_w1_global_topk, SQL_W1),
     # round 5: a3_greatest + a4_histogram consolidated (both checks
     # intact, value-exact) to make window room for extract_main_content
@@ -1919,6 +1986,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
     "extract_main_content": (q_extract_main_content, SQL_EXTRACT_MAIN_CONTENT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _sql_minhash()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),

@@ -30,6 +30,9 @@ Stages (each a native declarative plan; one JSON summary line printed):
                      components → connected components (min-label
                      propagation, dedupe.connected_components) → keep
                      the min doc_id of each transitive cluster
+3b. decontamination (with --decontam-eval) — drop training docs that
+                     share a word n-gram with any benchmark doc
+                     (operators/decontam.py, broadcast eval shingles)
 4. language split  — textstats.lang_id; output parquet partitioned by
                      lang_guess (the layout a per-language training
                      mix reads back with partition pruning)
@@ -76,7 +79,8 @@ def warc_front_end(files_df):
     )
 
 
-def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
+def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
+                 eval_df=None, decontam_n: int = 8):
     """Returns (result_df, stage_counts). Pure plan construction plus
     the stage-count actions."""
     from pyspark.sql import functions as F
@@ -124,6 +128,15 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6):
     counts["after_near_dup"] = survivors.count()
     deduped.unpersist()
 
+    if eval_df is not None:
+        # eval-set decontamination (operators/decontam.py): drop any
+        # training doc sharing an n-gram with the benchmark set —
+        # broadcast eval shingles, corpus side never shuffles
+        from go_scrapper_spark.operators.decontam import decontaminate
+
+        survivors = decontaminate(survivors, eval_df, n=decontam_n).persist()
+        counts["after_decontam"] = survivors.count()
+
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
     result = survivors.join(lang, "doc_id")
     return result, counts
@@ -138,6 +151,10 @@ def main() -> None:
     ap.add_argument("--wet-out", help="also export the corpus as WET files")
     ap.add_argument("--min-tokens", type=int, default=20)
     ap.add_argument("--near-dup-matches", type=int, default=6)
+    ap.add_argument("--decontam-eval",
+                    help="parquet of (eval_id, text) benchmark docs: drop "
+                         "training docs sharing an n-gram with any of them")
+    ap.add_argument("--decontam-ngram", type=int, default=8)
     args = ap.parse_args()
 
     from go_scrapper_spark.session import get_spark
@@ -147,8 +164,11 @@ def main() -> None:
         docs = warc_front_end(spark.read.parquet(args.warc))
     else:
         docs = spark.read.parquet(args.docs)
+    eval_df = (spark.read.parquet(args.decontam_eval)
+               if args.decontam_eval else None)
     result, counts = build_corpus(
-        spark, docs, args.min_tokens, args.near_dup_matches
+        spark, docs, args.min_tokens, args.near_dup_matches,
+        eval_df=eval_df, decontam_n=args.decontam_ngram,
     )
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)
     counts["written"] = spark.read.parquet(args.out).count()

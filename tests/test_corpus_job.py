@@ -48,3 +48,19 @@ def test_output_partitioned_by_lang(built):
     parts = glob.glob(out + "/lang_guess=*")
     assert parts, "expected lang_guess partition directories"
     assert spark.read.parquet(out).count() == counts["after_near_dup"]
+
+
+def test_decontam_stage_drops_eval_overlap(spark):
+    docs = spark.read.parquet(DOCS)
+    evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    base, c0 = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6)
+    clean, c1 = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6,
+                             eval_df=evals, decontam_n=5)
+    assert "after_decontam" in c1
+    assert c1["after_decontam"] < c0["after_near_dup"]
+    # every eval doc that survived the upstream stages must be gone
+    # (it shares all its own n-grams with itself)
+    survivors = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert not any(d % 10 == 0 for d in survivors
+                   if d in {r["doc_id"] for r in base.select("doc_id").collect()})

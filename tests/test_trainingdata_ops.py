@@ -443,3 +443,42 @@ def test_paragraph_dedup_rejects_bad_mode(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedupe.paragraph_dedup(docs, keep="all")
+
+
+def test_decontamination_flags_and_removes(spark):
+    from go_scrapper_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [(0, "The   Quick brown fox jumps over the lazy dog tonight"),
+         (1, "completely unrelated training prose with no overlap here at all"),
+         (2, "prefix words then the quick brown fox JUMPS over something"),
+         (3, "tiny doc")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "eval_id long, text string")
+
+    rep = {r["doc_id"]: r for r in
+           decontam.contamination_report(docs, evals, n=5).collect()}
+    # doc 0: case/whitespace-normalized 5-grams "the quick brown fox
+    # jumps" + "quick brown fox jumps over" both hit; doc 2 the same
+    assert set(rep) == {0, 2}
+    assert rep[0]["n_hits"] == 2 and rep[0]["n_eval_docs"] == 1
+    assert rep[2]["n_hits"] == 2
+
+    clean = decontam.decontaminate(docs, evals, n=5)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3}
+
+
+def test_decontamination_short_docs_never_explode(spark):
+    from go_scrapper_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [(0, "one two three"), (1, None), (2, "")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame([(9, "one two")],
+                                  "eval_id long, text string")
+    # every doc (and the eval) is shorter than n → empty report, no
+    # descending-sequence garbage
+    assert decontam.contamination_report(docs, evals, n=8).count() == 0
+    assert decontam.decontaminate(docs, evals, n=8).count() == 3
