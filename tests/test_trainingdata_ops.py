@@ -482,3 +482,94 @@ def test_decontamination_short_docs_never_explode(spark):
     # descending-sequence garbage
     assert decontam.contamination_report(docs, evals, n=8).count() == 0
     assert decontam.decontaminate(docs, evals, n=8).count() == 3
+
+
+def test_paragraph_dedup_matches_python_model_randomized(spark):
+    """One seeded random corpus (repeated boilerplate lines mixed with
+    unique prose), one Spark batch, compared field-for-field against a
+    direct pure-Python implementation of the contract."""
+    import random
+
+    rng = random.Random(20260817)
+    boiler = [f"boiler line {b} repeated across the corpus" for b in range(5)]
+    docs = []
+    for d in range(60):
+        paras = []
+        for _ in range(rng.randint(0, 8)):
+            if rng.random() < 0.4:
+                paras.append(rng.choice(boiler))
+            else:
+                paras.append(f"unique {d} {rng.randint(0, 10**9)}")
+            if rng.random() < 0.2:
+                paras.append("   ")  # whitespace-only, must vanish
+        docs.append((d, "\n".join(paras)))
+
+    # python model: first occurrence by (doc, original split idx)
+    first = {}
+    for d, text in docs:
+        for i, raw in enumerate(text.split("\n")):
+            p = raw.strip()
+            if p and p not in first:
+                first[p] = (d, i)
+    expect = {}
+    for d, text in docs:
+        kept, n_paras = [], 0
+        for i, raw in enumerate(text.split("\n")):
+            p = raw.strip()
+            if not p:
+                continue
+            n_paras += 1
+            if first[p] == (d, i):
+                kept.append(p)
+        if n_paras:
+            expect[d] = ("\n".join(kept), n_paras, len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(7)
+    got = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_kept"])
+           for r in dedupe.paragraph_dedup(df).collect()}
+    assert got == expect
+
+
+def test_decontamination_matches_python_model_randomized(spark):
+    import random
+
+    from go_scrapper_spark.operators import decontam
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    evals = [(e, " ".join(rng.choice(vocab) for _ in range(12)))
+             for e in range(3)]
+    n = 4
+    docs = []
+    for d in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        if rng.random() < 0.3 and words:  # plant an eval substring
+            ew = rng.choice(evals)[1].split()
+            k = rng.randint(0, len(ew) - n)
+            span = ew[k:k + rng.randint(n, len(ew) - k)]
+            at = rng.randint(0, len(words))
+            words = words[:at] + span + words[at:]
+        docs.append((d, " ".join(words)))
+
+    def grams(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    eg = {}  # ngram -> set(eval_id)
+    for e, t in evals:
+        for g in grams(t):
+            eg.setdefault(g, set()).add(e)
+    expect = {}
+    for d, t in docs:
+        hit = {g for g in grams(t) if g in eg}
+        if hit:
+            expect[d] = (len(hit),
+                         len(set().union(*(eg[g] for g in hit))))
+    assert expect, "seeded corpus must actually overlap"
+
+    got = {r["doc_id"]: (r["n_hits"], r["n_eval_docs"])
+           for r in decontam.contamination_report(
+               spark.createDataFrame(docs, "doc_id long, text string"),
+               spark.createDataFrame(evals, "eval_id long, text string"),
+               n=n).collect()}
+    assert got == expect
