@@ -356,3 +356,77 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("doc").alias(id_col), "clean_text",
                 "n_paras", "n_kept")
     )
+
+
+def host_template_strip(docs: DataFrame, host_col: str = "host",
+                        id_col: str = "doc_id", text_col: str = "text",
+                        sep: str = "\n", min_docs: int = 2,
+                        num: int = 1, den: int = 2) -> DataFrame:
+    """Per-host template removal — the site-templating twin of
+    ``paragraph_dedup``: a paragraph that appears in at least
+    ``num/den`` of a host's documents (and in at least ``min_docs``
+    of them) is site chrome (nav, footer, cookie banner rendered into
+    text), so EVERY occurrence is dropped — unlike global paragraph
+    dedup, no canonical copy survives. This is the per-host
+    document-frequency rule the production web-corpus pipelines apply
+    after main-content extraction, catching templating that
+    link-density scoring cannot (plain-text banners).
+
+    Threshold test is integer-exact (``df·den ≥ num·host_docs``), so
+    the DuckDB oracle verifies it bit-for-bit.
+
+    Output: one row per document that had at least one non-empty
+    paragraph — (id, clean_text, n_paras, n_kept); clean_text = ''
+    when every paragraph was template.
+
+    Scale shape: paragraphs travel as (key=xxhash64(host·para), doc,
+    idx, para). Document frequency aggregates on the slim key (one
+    shuffle of hashes, map-side combined); the verdict joins back on
+    the same key (shuffle-hash join — both sides already keyed);
+    reassembly groups on the doc id. The host-doc denominator is a
+    host-level aggregate joined on the host key — at 10^8 hosts that
+    is a table join, never a broadcast."""
+    paras = docs.select(
+        F.col(id_col).alias("doc"), F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "raw"),
+    ).select(
+        "doc", "host", "idx", F.trim("raw").alias("para")
+    ).filter(F.col("para") != "").withColumn(
+        "key", F.xxhash64("host", "para")
+    )
+
+    host_docs = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("host_docs")
+    )
+    df_per_para = (
+        paras.groupBy("key", "host")
+        .agg(F.count_distinct("doc").alias("df"))
+        .join(host_docs, "host")
+        .filter(
+            (F.col("df") >= F.lit(min_docs))
+            & (F.col("df") * F.lit(den) >= F.lit(num) * F.col("host_docs"))
+        )
+        .select("key", F.lit(True).alias("_tmpl"))
+    )
+    tagged = paras.join(df_per_para.hint("shuffle_hash"), "key", "left") \
+        .withColumn("_keep", F.col("_tmpl").isNull())
+    return (
+        tagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda s: s.para,
+                ),
+            ).alias("clean_text"),
+        )
+        .select(F.col("doc").alias(id_col), "clean_text",
+                "n_paras", "n_kept")
+    )

@@ -213,6 +213,34 @@ FROM events GROUP BY 1
 """
 
 
+def q_f_suite(spark, sf):
+    """F5 (retry bound) + F6 (status routing) as one union-typed
+    entry — consolidated round 5 (mm_suite pattern) to make window
+    room for host_template_strip; both checks stay value-exact."""
+    f5 = q_f5_retry_filter(spark, sf).select(
+        F.lit("f5").alias("kind"),
+        F.col("l_linenumber").cast("string").alias("key"), "n",
+    )
+    f6 = q_f6_status_routing(spark, sf).select(
+        F.lit("f6").alias("kind"), F.col("scrape_status").alias("key"), "n",
+    )
+    return f5.unionByName(f6)
+
+
+SQL_F_SUITE = """
+SELECT 'f5' AS kind, CAST(l_linenumber AS VARCHAR) AS key, count(*) AS n
+FROM lineitem WHERE l_linenumber < 5 GROUP BY 2
+UNION ALL
+SELECT 'f6' AS kind,
+       CASE event_type WHEN 'error' THEN 'SCRAPE_FAILED'
+                       WHEN 'purchase' THEN 'SUCCESS_SCRAPED'
+                       WHEN 'signup' THEN 'NO_REVIEWS'
+                       ELSE 'RETRY' END AS key,
+       count(*) AS n
+FROM events GROUP BY 2
+"""
+
+
 def q_f4_prefix_truncate(spark, sf):
     """F4/W2 seen-hash cut: keep rows before the first 'R' flag per order."""
     l = _t(spark, sf, "lineitem")
@@ -848,6 +876,63 @@ SELECT dg.doc_id,
        CAST(count(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_docs
 FROM dg JOIN eg USING (ngram)
 GROUP BY dg.doc_id
+"""
+
+
+def q_host_template_strip(spark, sf):
+    """Per-host template removal (dedupe.host_template_strip): docs are
+    dressed with a host (doc_id % 7) and paragraph breaks every 4
+    words; any paragraph repeating across >= 2 documents of the same
+    host (threshold 1/50 of host docs, i.e. any within-host repeat at
+    this corpus size) is site template and every occurrence drops.
+    Oracle recomputes the document-frequency rule relationally in
+    DuckDB (exact-string keys; the engine's xxhash64 key is 64-bit
+    identity)."""
+    from go_scrapper_spark.operators.dedupe import host_template_strip
+
+    docs = _t(spark, sf, "documents")
+    dressed = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string"))
+        .alias("host"),
+        F.regexp_replace(
+            F.coalesce("text", F.lit("")), r"((?:\S+ ){4})", "$1\n"
+        ).alias("text"),
+    )
+    return host_template_strip(dressed, min_docs=2, num=1, den=50)
+
+
+SQL_HOST_TEMPLATE_STRIP = r"""
+WITH d AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         regexp_replace(coalesce(text,''), '((\S+ ){4})',
+                        '\1' || chr(10), 'g') AS t
+  FROM documents
+), parts AS (
+  SELECT doc_id, host, string_split(t, chr(10)) AS ps FROM d
+), p AS (
+  SELECT doc_id, host, CAST(u.i AS BIGINT) AS idx, trim(ps[u.i + 1]) AS para
+  FROM parts CROSS JOIN unnest(range(0, length(ps))) AS u(i)
+  WHERE trim(ps[u.i + 1]) <> ''
+), hd AS (
+  SELECT host, count(*) AS host_docs FROM d GROUP BY host
+), tmpl AS (
+  SELECT p.host, p.para
+  FROM p JOIN hd USING (host)
+  GROUP BY p.host, p.para, hd.host_docs
+  HAVING count(DISTINCT p.doc_id) >= 2
+     AND count(DISTINCT p.doc_id) * 50 >= 1 * hd.host_docs
+), tagged AS (
+  SELECT p.doc_id, p.idx, p.para,
+         (tmpl.para IS NULL) AS keep
+  FROM p LEFT JOIN tmpl ON p.host = tmpl.host AND p.para = tmpl.para
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN para END,
+                           chr(10) ORDER BY idx), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept
+FROM tagged GROUP BY doc_id
 """
 
 
@@ -1959,9 +2044,10 @@ QUERIES = {
     "j4_fetch_join": (q_j4_fetch_join, SQL_J4),
     "j5_broadcast_dims": (q_j5_broadcast_dims, SQL_J5),
     "j1_similarity_match": (q_j1_similarity_match, SQL_J1),
-    "f6_status_routing": (q_f6_status_routing, SQL_F6),
+    # round 5: f5 + f6 consolidated (both checks intact, value-exact)
+    # to make window room for host_template_strip
+    "f_suite": (q_f_suite, SQL_F_SUITE),
     "f4_prefix_truncate": (q_f4_prefix_truncate, SQL_F4),
-    "f5_retry_filter": (q_f5_retry_filter, SQL_F5),
     "g1_pagination_fanout": (q_g1_pagination_fanout, SQL_G1),
     "g3_probe_admission": (q_g3_probe_admission, SQL_G3),
     # round 5: u1 + u2 consolidated (both checks intact, value-exact)
@@ -1985,6 +2071,7 @@ QUERIES = {
     "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "host_template_strip": (q_host_template_strip, SQL_HOST_TEMPLATE_STRIP),
     "extract_main_content": (q_extract_main_content, SQL_EXTRACT_MAIN_CONTENT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_JACCARD),

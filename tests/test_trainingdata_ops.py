@@ -573,3 +573,46 @@ def test_decontamination_matches_python_model_randomized(spark):
                spark.createDataFrame(evals, "eval_id long, text string"),
                n=n).collect()}
     assert got == expect
+
+
+def test_host_template_strip_per_host_scope(spark):
+    docs = spark.createDataFrame(
+        [(0, "a.com", "cookie banner\nunique zero text"),
+         (1, "a.com", "cookie banner\nunique one text"),
+         (2, "a.com", "unique two text"),
+         (3, "b.com", "cookie banner\nunique three")],
+        "doc_id long, host string, text string")
+    out = {r["doc_id"]: r for r in
+           dedupe.host_template_strip(docs, min_docs=2, num=1, den=2)
+           .collect()}
+    # banner in 2/3 of a.com docs → stripped from BOTH (no canonical
+    # copy survives, unlike paragraph_dedup); b.com df=1 → untouched
+    assert out[0]["clean_text"] == "unique zero text"
+    assert out[1]["clean_text"] == "unique one text"
+    assert out[2]["clean_text"] == "unique two text"
+    assert out[3]["clean_text"] == "cookie banner\nunique three"
+    assert (out[0]["n_paras"], out[0]["n_kept"]) == (2, 1)
+
+
+def test_host_template_strip_thresholds(spark):
+    # banner in 2 of 5 docs: below 1/2 → kept; at 2/5 → stripped
+    docs = spark.createDataFrame(
+        [(i, "h", ("tmpl line\n" if i < 2 else "") + f"own {i} prose")
+         for i in range(5)],
+        "doc_id long, host string, text string")
+    half = {r["doc_id"]: r["clean_text"] for r in
+            dedupe.host_template_strip(docs, min_docs=2, num=1, den=2)
+            .collect()}
+    assert half[0] == "tmpl line\nown 0 prose"  # 2*2 >= 5 is False
+    fifth = {r["doc_id"]: r["clean_text"] for r in
+             dedupe.host_template_strip(docs, min_docs=2, num=2, den=5)
+             .collect()}
+    assert fifth[0] == "own 0 prose"  # 2*5 >= 2*5 is True
+    # all-template docs stay, with empty text
+    docs2 = spark.createDataFrame(
+        [(0, "h", "only tmpl"), (1, "h", "only tmpl")],
+        "doc_id long, host string, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"]) for r in
+           dedupe.host_template_strip(docs2, min_docs=2, num=1, den=2)
+           .collect()}
+    assert got == {0: ("", 0), 1: ("", 0)}
