@@ -49,15 +49,19 @@ import argparse
 import json
 
 
-def warc_front_end(files_df):
+def warc_front_end(files_df, host_template_den: int = 0):
     """Raw WARC blobs → documents-shaped frame (doc_id, text, url,
-    warc_ts): parse, keep 200-responses, strip boilerplate, paragraph-
-    dedup across the batch. doc_id is xxhash64(url) — deterministic
-    under any partitioning, no global row numbering."""
+    warc_ts): parse, keep 200-responses, strip boilerplate,
+    optionally strip per-host template paragraphs (den > 0: drop any
+    paragraph in ≥ 1/den of a host's docs — runs BEFORE the global
+    paragraph dedup, the production ordering), then paragraph-dedup
+    across the batch. doc_id is xxhash64(url) — deterministic under
+    any partitioning, no global row numbering."""
     from pyspark.sql import functions as F
 
     from go_scrapper_spark.functions.boilerplate import extract_main_content
-    from go_scrapper_spark.operators.dedupe import paragraph_dedup
+    from go_scrapper_spark.operators.dedupe import (host_template_strip,
+                                                    paragraph_dedup)
     from go_scrapper_spark.sources.warc import warc_to_pages
 
     pages = warc_to_pages(files_df)
@@ -71,6 +75,19 @@ def warc_front_end(files_df):
             F.col("main_text").alias("text"), "url", "warc_ts",
         )
     )
+    if host_template_den > 0:
+        hosted = docs.withColumn(
+            "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+        )
+        stripped = host_template_strip(
+            hosted, min_docs=2, num=1, den=host_template_den
+        )
+        docs = (
+            docs.select("doc_id", "url", "warc_ts")
+            .join(stripped.filter(F.col("n_kept") > 0), "doc_id")
+            .select("doc_id", F.col("clean_text").alias("text"),
+                    "url", "warc_ts")
+        )
     cleaned = paragraph_dedup(docs, sep="\n")
     return (
         docs.select("doc_id", "url", "warc_ts")
@@ -155,13 +172,17 @@ def main() -> None:
                     help="parquet of (eval_id, text) benchmark docs: drop "
                          "training docs sharing an n-gram with any of them")
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--host-template-den", type=int, default=0,
+                    help="with --warc: drop paragraphs appearing in "
+                         ">= 1/DEN of a host's documents (0 = off)")
     args = ap.parse_args()
 
     from go_scrapper_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-build")
     if args.warc:
-        docs = warc_front_end(spark.read.parquet(args.warc))
+        docs = warc_front_end(spark.read.parquet(args.warc),
+                              host_template_den=args.host_template_den)
     else:
         docs = spark.read.parquet(args.docs)
     eval_df = (spark.read.parquet(args.decontam_eval)

@@ -78,3 +78,13 @@ def test_warc_to_corpus_to_wet_roundtrip(spark, warc_files, tmp_path):
     back = {r["url"]: r["text"] for r in w.wet_to_docs(wet).collect()}
     want = {r["url"]: r["text"] for r in final.collect()}
     assert back == want
+
+
+def test_front_end_host_template_mode_removes_banner_entirely(spark,
+                                                              warc_files):
+    docs = warc_front_end(warc_files, host_template_den=2)
+    texts = [r["text"] for r in docs.collect()]
+    # with per-host template strip ON, the cookie banner (present on
+    # every page of every host) vanishes entirely — no canonical copy
+    assert sum(t.count(BANNER) for t in texts) == 0
+    assert all("Document" in t for t in texts)  # unique prose intact
