@@ -49,16 +49,22 @@ def _shingle_set(df: DataFrame, id_col: str, text_col: str,
 def contamination_report(docs: DataFrame, eval_df: DataFrame, n: int = 8,
                          id_col: str = "doc_id", text_col: str = "text",
                          eval_id_col: str = "eval_id",
-                         eval_text_col: str = "text") -> DataFrame:
+                         eval_text_col: str = "text",
+                         broadcast_eval: bool = True) -> DataFrame:
     """One row per CONTAMINATED training document:
     (id, n_hits, n_eval_docs) — the number of distinct shared n-grams
     and the number of distinct eval documents hit. Clean documents do
     not appear (the report is eval-sized × hit-rate, tiny)."""
-    evals = F.broadcast(
+    evals = (
         _shingle_set(eval_df, eval_id_col, eval_text_col, n)
         .withColumnRenamed("_id", "_eval_id")
         .distinct()
     )
+    # typical eval sets (thousands of docs -> a few M n-grams) fit a
+    # broadcast and keep the corpus shuffle-free; for very large eval
+    # suites (~10^8 grams) pass broadcast_eval=False to fall back to a
+    # shuffle-hash equi-join on the n-gram key
+    evals = F.broadcast(evals) if broadcast_eval else evals.hint("shuffle_hash")
     hits = _shingle_set(docs, id_col, text_col, n).join(evals, "ngram")
     return (
         hits.groupBy("_id")

@@ -469,6 +469,13 @@ def test_decontamination_flags_and_removes(spark):
     clean = decontam.decontaminate(docs, evals, n=5)
     assert {r["doc_id"] for r in clean.collect()} == {1, 3}
 
+    # the shuffle-join fallback (huge eval suites) is result-identical
+    rep2 = {r["doc_id"]: (r["n_hits"], r["n_eval_docs"]) for r in
+            decontam.contamination_report(
+                docs, evals, n=5, broadcast_eval=False).collect()}
+    assert rep2 == {d: (r["n_hits"], r["n_eval_docs"])
+                    for d, r in rep.items()}
+
 
 def test_decontamination_short_docs_never_explode(spark):
     from go_scrapper_spark.operators import decontam
