@@ -191,9 +191,13 @@ def main() -> None:
         spark, docs, args.min_tokens, args.near_dup_matches,
         eval_df=eval_df, decontam_n=args.decontam_ngram,
     )
+    n_final = result.count()
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)
-    counts["written"] = spark.read.parquet(args.out).count()
-    if args.wet_out:
+    # a fully-filtered corpus is a legitimate outcome: an empty
+    # partitioned parquet dir cannot be schema-inferred back, so only
+    # read-verify when something was written
+    counts["written"] = spark.read.parquet(args.out).count() if n_final else 0
+    if args.wet_out and n_final:
         from pyspark.sql import functions as F
 
         from go_scrapper_spark.sources.warc import pages_to_wet
