@@ -203,16 +203,6 @@ def q_f6_status_routing(spark, sf):
     return e.groupBy(status.alias("scrape_status")).agg(F.count("*").alias("n"))
 
 
-SQL_F6 = """
-SELECT CASE event_type WHEN 'error' THEN 'SCRAPE_FAILED'
-                       WHEN 'purchase' THEN 'SUCCESS_SCRAPED'
-                       WHEN 'signup' THEN 'NO_REVIEWS'
-                       ELSE 'RETRY' END AS scrape_status,
-       count(*) AS n
-FROM events GROUP BY 1
-"""
-
-
 def q_f_suite(spark, sf):
     """F5 (retry bound) + F6 (status routing) as one union-typed
     entry — consolidated round 5 (mm_suite pattern) to make window
@@ -272,12 +262,6 @@ def q_f5_retry_filter(spark, sf):
         .groupBy("l_linenumber")
         .agg(F.count("*").alias("n"))
     )
-
-
-SQL_F5 = """
-SELECT l_linenumber, count(*) AS n FROM lineitem
-WHERE l_linenumber < 5 GROUP BY l_linenumber
-"""
 
 
 def q_g1_pagination_fanout(spark, sf):
@@ -368,13 +352,6 @@ def q_p10_date_parse(spark, sf):
     )
 
 
-SQL_P10 = """
-SELECT o_orderkey, strftime(o_orderdate, '%-m/%-d/%Y') AS source_date,
-       CAST(epoch(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y')) AS BIGINT) AS posted_at
-FROM orders
-"""
-
-
 def q_p_datetime_url(spark, sf):
     """P10 (Go date layout → unix) and P13 (RFC-3986 canonicalization)
     as one union-typed entry — consolidated round 5 (the mm_suite
@@ -431,13 +408,6 @@ def q_canon_urls(spark, sf):
         F.lit("HTTPS://Host"), F.col("c_custkey"), F.lit(".Example:443/A/./b/../Path?b=2&a=1#f")
     )
     return c.select("c_custkey", canonicalize_udf(raw).alias("canon_url"))
-
-
-SQL_CANON = """
-SELECT c_custkey,
-       'https://host' || c_custkey || '.example/A/Path?a=1&b=2' AS canon_url
-FROM customer
-"""
 
 
 def q_robots_policy(spark, sf):
@@ -602,9 +572,6 @@ def q_u2_distinct(spark, sf):
     """U2 dedup as DISTINCT over a projection."""
     l = _t(spark, sf, "lineitem")
     return l.select("l_returnflag", "l_linestatus").distinct()
-
-
-SQL_U2 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
 def q_u_suite(spark, sf):
@@ -1403,15 +1370,6 @@ def q_mm_image_meta(spark, sf):
     return multimodal.image_meta(multimodal.attach_payload(_t(spark, sf, "documents")))
 
 
-SQL_MM_META = """
-SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-       CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height,
-       'stub' AS mode
-FROM documents
-"""
-
-
 def q_g3_probe_admission(spark, sf):
     """G3 probe-window scheduling predicate shape (main.go:563-654;
     engine: plans/crawl.py _probe_window_col + the gated pending
@@ -1461,28 +1419,9 @@ def q_mm_audio_features(spark, sf):
     return multimodal.audio_features(multimodal.attach_payload(docs))
 
 
-SQL_MM_AUDIO = """
-SELECT doc_id,
-       CAST(length(coalesce(text, '')) AS BIGINT) AS n_units,
-       CAST(8000 + (length(coalesce(text, '')) % 8) * 1000 AS INT) AS fake_sample_rate,
-       CAST(u.w AS BIGINT) AS window_idx,
-       CAST(concat('0x', substr(md5(substr(coalesce(text, ''), CAST(u.w*32 + 1 AS INT), 32)), 1, 12)) AS BIGINT) AS energy
-FROM documents
-CROSS JOIN unnest(range(0, 4)) AS u(w)
-"""
-
-
 def q_mm_video_frames(spark, sf):
     docs = _t(spark, sf, "documents")
     return multimodal.video_frame_sample(multimodal.attach_payload(docs))
-
-
-SQL_MM_VIDEO = """
-SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
-       md5(substr(coalesce(text, ''), CAST(u.i*10 + 1 AS INT), 10)) AS frame_sig
-FROM documents
-CROSS JOIN unnest(range(0, length(coalesce(text, ''))//10, 7)) AS u(i)
-"""
 
 
 def q_mm_suite(spark, sf):
