@@ -273,7 +273,8 @@ def main():
         # are deterministic single queries, not throughput estimates)
         heavy = {}
         for name in ("dedup_minhash_lsh", "dedup_clusters",
-                     "dedup_ngram_jaccard"):
+                     "dedup_ngram_jaccard", "sim_lsh_neighbors",
+                     "decontaminate"):
             heavy[name] = []
         for _ in range(3):
             for name, acc in heavy.items():
