@@ -227,10 +227,14 @@ def pages_to_warc(pages: DataFrame, n_files: int = 64,
             "warc": [build_warc(recs)],
         })
 
-    staged = pages.select(
+    # untrusted rows degrade, never abort: a record without a target
+    # URI cannot be archived (dropped row); a null timestamp stamps
+    # the epoch rather than emitting a literal "None" header
+    staged = pages.filter(F.col(url_col).isNotNull()).select(
         F.col(url_col), F.col(html_col),
-        F.date_format(
-            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        F.coalesce(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("1970-01-01T00:00:00Z"),
         ).alias("_warc_date"),
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
         .cast("long").alias("_fid"),
@@ -280,10 +284,11 @@ def pages_to_wet(pages: DataFrame, n_files: int = 64,
             "warc": [build_warc(recs)],
         })
 
-    staged = pages.select(
+    staged = pages.filter(F.col(url_col).isNotNull()).select(
         F.col(url_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-        F.date_format(
-            F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        F.coalesce(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            F.lit("1970-01-01T00:00:00Z"),
         ).alias("_warc_date"),
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_files))
         .cast("long").alias("_fid"),

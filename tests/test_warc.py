@@ -279,3 +279,24 @@ def test_streaming_warc_ingest_equals_batch_and_is_incremental(spark, tmp_path):
     got2 = spark.read.parquet(out)
     assert got2.count() == 45  # 30 old + 15 new, no duplicates
     assert got2.select("url").distinct().count() == 45
+
+
+def test_archive_sinks_degrade_on_malformed_rows(spark):
+    """A null url (unarchivable) drops; a null warc_ts stamps the
+    epoch — one bad row must never abort a 100 TB export."""
+    pages = spark.createDataFrame(
+        [("https://h/ok", "2024-01-01T00:00:00", bytearray(b"<html>x</html>")),
+         (None, "2024-01-01T00:00:00", bytearray(b"<html>dropme</html>")),
+         ("https://h/nots", None, bytearray(b"<html>y</html>"))],
+        "url string, ts string, html binary",
+    ).select("url", F.to_timestamp("ts").alias("warc_ts"), "html")
+    back = {r["url"]: r for r in
+            w.warc_to_pages(w.pages_to_warc(pages, n_files=2)).collect()}
+    assert set(back) == {"https://h/ok", "https://h/nots"}
+    assert back["https://h/nots"]["warc_ts"].year == 1970
+
+    wet = w.pages_to_wet(
+        pages.select("url", "warc_ts",
+                     F.decode("html", "UTF-8").alias("text")), n_files=2)
+    got = {r["url"] for r in w.wet_to_docs(wet).collect()}
+    assert got == {"https://h/ok", "https://h/nots"}
