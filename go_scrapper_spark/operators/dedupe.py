@@ -129,20 +129,7 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 6, n: int = 3, bands: int = 3,
     key — one shuffle total, instead of ``bands`` separate self-joins
     unioned (each with its own shuffle). Identical output."""
     sig = minhash_signatures(docs, k, n, id_col, text_col).persist()
-    rows_per_band = k // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|",
-                *[F.col(f"s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    band_rows = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    band_rows = _band_rows(sig, k, bands)
     a = band_rows.alias("a")
     c = band_rows.alias("c")
     cands = (
@@ -164,6 +151,63 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 6, n: int = 3, bands: int = 3,
         cands.join(a, cands.doc_a == F.col("a.doc"))
         .join(c, cands.doc_b == F.col("c.doc"))
         .select("doc_a", "doc_b", matches.alias("sig_matches"))
+    )
+
+
+def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    rows_per_band = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc", F.col("bk.band_id").alias("band_id"),
+             F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_pairs_cross(new_docs: DataFrame, existing_docs: DataFrame,
+                            k: int = 6, n: int = 3, bands: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Cross-corpus LSH candidates — (new doc, existing doc) pairs
+    sharing any full signature band, with the exact signature-match
+    count. The incremental-maintenance primitive: a nightly crawl
+    segment dedups against the standing corpus WITHOUT re-pairing the
+    corpus against itself (the self-join over 10^9 standing docs is
+    exactly what an incremental update must avoid). One equi-join on
+    (band_id, band_key); the standing side streams from its stored
+    signature table in production, so only the new segment is
+    re-shingled."""
+    sig_new = minhash_signatures(new_docs, k, n, id_col, text_col).persist()
+    sig_old = minhash_signatures(existing_docs, k, n, id_col, text_col)
+    a = _band_rows(sig_new, k, bands).alias("a")
+    c = _band_rows(sig_old, k, bands).alias("c")
+    cands = (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("a.doc").alias("doc_new"), F.col("c.doc").alias("doc_old"))
+        .distinct()
+    )
+    an = sig_new.alias("a")
+    co = minhash_signatures(existing_docs, k, n, id_col, text_col).alias("c")
+    matches = sum(
+        F.when(F.col(f"a.s{i}") == F.col(f"c.s{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        cands.join(an, cands.doc_new == F.col("a.doc"))
+        .join(co, cands.doc_old == F.col("c.doc"))
+        .select("doc_new", "doc_old", matches.alias("sig_matches"))
     )
 
 

@@ -6,6 +6,12 @@
     spark-submit ... jobs/corpus.py --warc /archive/segments.parquet \
         --out /corpus [--wet-out /corpus-wet] ...
 
+With ``--update-existing /corpus`` the job runs in INCREMENTAL mode:
+the input (either --docs or --warc) is treated as a new crawl segment,
+cleaned, and deduplicated against the standing corpus (exact content
+hashes + cross-corpus MinHash LSH — the standing corpus always wins);
+--out receives only the appendable delta.
+
 With ``--warc`` the pipeline starts from raw web archives — the
 Common-Crawl access pattern — and runs two extra front stages:
 
@@ -159,6 +165,92 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     return result, counts
 
 
+def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
+                  near_dup_matches: int = 6, eval_df=None,
+                  decontam_n: int = 8):
+    """Incremental corpus maintenance: clean a NEW crawl segment and
+    dedup it against the STANDING corpus without re-processing the
+    corpus itself — the nightly operation of a continuously-crawling
+    pipeline. Returns (appendable_df, counts): the rows to append
+    (same schema as build_corpus output; ``existing`` is never
+    modified).
+
+    Incremental semantics (documented, deliberately corpus-stable —
+    NOT identical to a full rebuild): the standing corpus always wins.
+    A new doc is dropped when it
+      - fails the quality gate,
+      - exactly matches any standing doc's content hash (or a
+        same-batch doc with a smaller id),
+      - near-dups any standing doc (cross LSH ≥ near_dup_matches) or
+        transitively clusters with same-batch docs (keep min id),
+      - shares an n-gram with the eval set (when eval_df is given).
+
+    Scale shape: the standing corpus contributes ONE content-hash
+    anti-join plus the cross band join (in production both read
+    precomputed hash/signature tables, so the 10^9-doc side is never
+    re-shingled); every quadratic-risk stage touches only the new
+    segment."""
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.functions import textstats
+    from go_scrapper_spark.operators import dedupe
+
+    counts = {"existing": existing.count(), "new": new_docs.count()}
+
+    quality = textstats.text_quality(new_docs, text_col="text").filter(
+        (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
+    )
+    kept = new_docs.join(quality.select("doc_id"), "doc_id", "left_semi")         .persist()
+    counts["after_quality"] = kept.count()
+
+    # exact: drop content hashes the corpus already holds, then keep
+    # one (min id) per remaining hash within the batch
+    h = lambda c: F.md5(F.col(c).cast("binary"))  # noqa: E731
+    fresh = kept.join(
+        existing.select(h("text").alias("_h")).distinct(),
+        h("text") == F.col("_h"), "left_anti",
+    )
+    canon = dedupe.exact_dedup_groups(fresh).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    deduped = fresh.join(canon, "doc_id", "left_semi").persist()
+    counts["after_exact_dedup"] = deduped.count()
+    kept.unpersist()
+
+    # near-dup vs the standing corpus: existing always wins
+    cross = dedupe.minhash_lsh_pairs_cross(deduped, existing).filter(
+        F.col("sig_matches") >= near_dup_matches
+    )
+    survivors = deduped.join(
+        cross.select(F.col("doc_new").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+    # near-dup within the batch: transitive clusters keep min id
+    pairs = dedupe.minhash_lsh_pairs(survivors).filter(
+        F.col("sig_matches") >= near_dup_matches
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    clusters = dedupe.connected_components(
+        survivors.select(F.col("doc_id").alias("doc")), edges
+    )
+    keepers = clusters.filter(F.col("doc") == F.col("cluster_id")).select(
+        F.col("doc").alias("doc_id")
+    )
+    survivors = survivors.join(keepers, "doc_id", "left_semi").persist()
+    counts["after_near_dup"] = survivors.count()
+    deduped.unpersist()
+
+    if eval_df is not None:
+        from go_scrapper_spark.operators.decontam import decontaminate
+
+        survivors = decontaminate(survivors, eval_df, n=decontam_n).persist()
+        counts["after_decontam"] = survivors.count()
+
+    lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
+    result = survivors.join(lang, "doc_id")
+    return result, counts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="corpus")
     src = ap.add_mutually_exclusive_group(required=True)
@@ -175,6 +267,10 @@ def main() -> None:
     ap.add_argument("--host-template-den", type=int, default=0,
                     help="with --warc: drop paragraphs appearing in "
                          ">= 1/DEN of a host's documents (0 = off)")
+    ap.add_argument("--update-existing",
+                    help="incremental mode: parquet of the standing "
+                         "corpus; --out receives only the cleaned, "
+                         "corpus-deduped DELTA to append")
     args = ap.parse_args()
 
     from go_scrapper_spark.session import get_spark
@@ -187,10 +283,17 @@ def main() -> None:
         docs = spark.read.parquet(args.docs)
     eval_df = (spark.read.parquet(args.decontam_eval)
                if args.decontam_eval else None)
-    result, counts = build_corpus(
-        spark, docs, args.min_tokens, args.near_dup_matches,
-        eval_df=eval_df, decontam_n=args.decontam_ngram,
-    )
+    if args.update_existing:
+        existing = spark.read.parquet(args.update_existing)
+        result, counts = update_corpus(
+            spark, existing, docs, args.min_tokens, args.near_dup_matches,
+            eval_df=eval_df, decontam_n=args.decontam_ngram,
+        )
+    else:
+        result, counts = build_corpus(
+            spark, docs, args.min_tokens, args.near_dup_matches,
+            eval_df=eval_df, decontam_n=args.decontam_ngram,
+        )
     n_final = result.count()
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)
     # a fully-filtered corpus is a legitimate outcome: an empty

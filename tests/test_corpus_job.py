@@ -64,3 +64,59 @@ def test_decontam_stage_drops_eval_overlap(spark):
     survivors = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert not any(d % 10 == 0 for d in survivors
                    if d in {r["doc_id"] for r in base.select("doc_id").collect()})
+
+
+def test_update_corpus_incremental_semantics(spark):
+    from corpus import update_corpus
+
+    docs = spark.read.parquet(DOCS)
+    base, _ = build_corpus(spark, docs.filter(F.col("doc_id") < 60),
+                           min_tokens=5, near_dup_matches=6)
+    existing = base.persist()
+    n0 = existing.count()
+    assert n0 > 0
+
+    # the new segment: exact copies of standing docs (shifted ids) +
+    # genuinely new docs
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text",
+        "lang", "source", "n_chars")
+    fresh = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+    segment = copies.unionByName(fresh)
+
+    delta, counts = update_corpus(spark, existing, segment,
+                                  min_tokens=5, near_dup_matches=6)
+    out = delta.persist()
+    delta_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every exact copy of a standing doc is gone
+    assert not any(d >= 100000 for d in delta_ids)
+    # the delta introduces no content hash the corpus already holds
+    merged = existing.select("text").union(out.select("text"))
+    dup = (merged.groupBy(F.md5(F.col("text").cast("binary"))).count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    assert counts["after_exact_dedup"] <= counts["after_quality"]
+    assert "lang_guess" in out.columns and len(delta_ids) > 0
+
+
+def test_update_corpus_drops_near_dups_of_existing(spark):
+    from corpus import update_corpus
+
+    base_rows = [(i, f"the standing corpus document number {i} talks about "
+                     f"topic {i} in enough detail to pass every filter with "
+                     f"plenty of ordinary words here")
+                 for i in range(5)]
+    existing = spark.createDataFrame(
+        base_rows, "doc_id long, text string")
+    # near-dup of standing doc 3 (one word changed), plus a fresh doc
+    seg_rows = [
+        (900, base_rows[3][1].replace("detail", "depth")),
+        (901, "an entirely different new document with completely other "
+              "content and themes that overlap nothing of what is already "
+              "in the collection at all for any reader"),
+    ]
+    segment = spark.createDataFrame(seg_rows, "doc_id long, text string")
+    delta, counts = update_corpus(spark, existing, segment,
+                                  min_tokens=5, near_dup_matches=4)
+    ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    assert ids == {901}  # near-dup dropped (4/6 sig match), fresh kept
