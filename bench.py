@@ -738,9 +738,16 @@ def main():
     main_line = {
         "metric": "see BENCH_FULL.json for full detail; per-query secs on previous stdout line",
     }
+    def _is_ratio(k):
+        # 0-to-1 gate evidence must keep 3 decimals in the one line the
+        # round driver records — nd=1 renders 0.87 recall and the 0.85
+        # gate both as "0.9" (ADVICE r5)
+        return ("recall" in k or "efficiency" in k or "_vs_" in k
+                or k.endswith("_frac"))
+
     for k in head_keys:
         if k in out and k not in main_line:
-            main_line[k] = _r(out[k])
+            main_line[k] = _r(out[k], 3 if _is_ratio(k) else 1)
     print(json.dumps(qline, separators=(",", ":")))
     print(json.dumps(main_line, separators=(",", ":")))
     try:

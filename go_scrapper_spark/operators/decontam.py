@@ -79,11 +79,18 @@ def contamination_report(docs: DataFrame, eval_df: DataFrame, n: int = 8,
 def decontaminate(docs: DataFrame, eval_df: DataFrame, n: int = 8,
                   id_col: str = "doc_id", text_col: str = "text",
                   eval_id_col: str = "eval_id",
-                  eval_text_col: str = "text") -> DataFrame:
+                  eval_text_col: str = "text",
+                  broadcast_eval: bool = True) -> DataFrame:
     """The corpus minus every contaminated document (left-anti join on
     the report — the report side is tiny, so the anti-join broadcasts
-    and the corpus never shuffles)."""
+    and the corpus never shuffles). ``broadcast_eval=False`` switches
+    the eval-shingle join to the shuffle-hash fallback for eval suites
+    too large to broadcast (~10^8 grams) — same results, one extra
+    corpus-side shuffle on the n-gram key (round 6: previously only
+    ``contamination_report`` exposed the switch, so a huge eval suite
+    would OOM the broadcast with no knob to flip)."""
     bad = contamination_report(
-        docs, eval_df, n, id_col, text_col, eval_id_col, eval_text_col
+        docs, eval_df, n, id_col, text_col, eval_id_col, eval_text_col,
+        broadcast_eval=broadcast_eval,
     ).select(id_col)
     return docs.join(F.broadcast(bad), id_col, "left_anti")

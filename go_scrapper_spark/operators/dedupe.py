@@ -172,21 +172,45 @@ def _band_rows(sig: DataFrame, k: int, bands: int) -> DataFrame:
              F.col("bk.band_key").alias("band_key"))
 
 
-def minhash_lsh_pairs_cross(new_docs: DataFrame, existing_docs: DataFrame,
+def minhash_lsh_pairs_cross(new_docs: DataFrame,
+                            existing_docs: DataFrame | None = None,
                             k: int = 6, n: int = 3, bands: int = 3,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            existing_sigs: DataFrame | None = None) -> DataFrame:
     """Cross-corpus LSH candidates — (new doc, existing doc) pairs
     sharing any full signature band, with the exact signature-match
     count. The incremental-maintenance primitive: a nightly crawl
     segment dedups against the standing corpus WITHOUT re-pairing the
     corpus against itself (the self-join over 10^9 standing docs is
     exactly what an incremental update must avoid). One equi-join on
-    (band_id, band_key); the standing side streams from its stored
-    signature table in production, so only the new segment is
-    re-shingled."""
+    (band_id, band_key).
+
+    The standing side is given EITHER as raw ``existing_docs`` (its
+    signatures are computed once and persisted so the band join and
+    the match-count join share ONE scan — round 6: the r5 plan
+    re-shingled the 10^9-doc side twice) OR as ``existing_sigs``, a
+    precomputed ``minhash_signatures`` table (doc, s0..s{k-1}) read
+    from storage — the production nightly mode, where the standing
+    corpus is NEVER re-shingled (``jobs/corpus.py --sigs`` persists
+    and reuses it across runs). Exactly one of the two must be given;
+    the two paths are value-identical (tested).
+
+    Persist lifetime: the segment signatures (and the derived
+    standing signatures, in the raw-docs path) stay cached
+    MEMORY_AND_DISK until the returned frame's consumers finish;
+    they are deliberately NOT unpersisted here because the returned
+    plan still reads them — callers running many segments in one
+    session should pass precomputed signature tables instead."""
+    if (existing_docs is None) == (existing_sigs is None):
+        raise ValueError(
+            "pass exactly one of existing_docs / existing_sigs")
     sig_new = minhash_signatures(new_docs, k, n, id_col, text_col).persist()
-    sig_old = minhash_signatures(existing_docs, k, n, id_col, text_col)
+    if existing_sigs is not None:
+        sig_old = existing_sigs
+    else:
+        sig_old = minhash_signatures(
+            existing_docs, k, n, id_col, text_col).persist()
     a = _band_rows(sig_new, k, bands).alias("a")
     c = _band_rows(sig_old, k, bands).alias("c")
     cands = (
@@ -199,7 +223,7 @@ def minhash_lsh_pairs_cross(new_docs: DataFrame, existing_docs: DataFrame,
         .distinct()
     )
     an = sig_new.alias("a")
-    co = minhash_signatures(existing_docs, k, n, id_col, text_col).alias("c")
+    co = sig_old.alias("c")
     matches = sum(
         F.when(F.col(f"a.s{i}") == F.col(f"c.s{i}"), 1).otherwise(0)
         for i in range(k)
@@ -329,19 +353,30 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     paragraphs re-joined with ``sep`` in original order ('' when
     nothing survives), so downstream stages see the same table shape.
 
-    Scale shape: posexplode is pipeline-local (no shuffle); the
-    first-occurrence window is ONE hash shuffle on the paragraph
-    md5 (the same key an exact-dedup group-by would use — skew is
-    bounded because identical boilerplate hashes spread over
-    #distinct-paragraph keys, and a single hot paragraph is still
-    one key ≪ executor memory: only (doc, idx) pairs travel, never
-    the text twice); the reassembly group-by is ONE shuffle on the
-    doc id. No joins, no Python, all codegen'd.
+    Scale shape (round 6 — the ``host_template_strip`` slim-key
+    shape): posexplode is pipeline-local (no shuffle); the
+    first-occurrence verdict is a HashAggregate on the 16-byte
+    md5(para) key — ``agg(min(pack), count)`` with map-side PARTIAL
+    aggregation, so one viral boilerplate paragraph occurring in
+    10^8 documents collapses to one slim (key, min, count) row per
+    map task before the shuffle; only (key, pack) pairs reach the
+    exchange, never the text. The verdict joins back on the same key
+    (shuffle_hash hint — neither side broadcast-buffered at corpus
+    scale), then reassembly groups on the doc id. No window
+    functions anywhere — a window over the paragraph hash would
+    funnel every occurrence of a hot paragraph, text included, into
+    a single task with no partial aggregation.
 
-    Determinism: canonical copy = min over the packed
-    (doc_id·2^20 + idx) BIGINT — exact order-preserving packing,
-    loud raise_error on overflow (idx < 2^20 paragraphs/doc,
-    doc_id < 2^43) per the round-5 frontier-pack convention."""
+    Determinism: canonical copy = min over the order-preserving
+    DECIMAL(38,0) pack ``(doc + 2^63)·2^20 + idx`` — the +2^63 bias
+    makes the pack isomorphic to lexicographic (doc, idx) order for
+    the FULL signed 64-bit doc-id range (content-addressed ids like
+    xxhash64(url) are negative half the time, and any modular
+    narrowing would birthday-collide at ~2^21 docs — ADVICE r5);
+    decimal(38,0) min stays HashAggregate-eligible (mutable
+    fixed-width buffer), unlike min(struct) which degrades to
+    SortAggregate. idx keeps a loud raise_error bound
+    (< 2^20 paragraphs/doc); doc is unconstrained."""
     if keep not in ("first", "unique"):
         raise ValueError(f"keep must be 'first' or 'unique', got {keep!r}")
 
@@ -352,29 +387,33 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         "doc", "idx", F.trim("raw").alias("para")
     ).filter(F.col("para") != "")
 
-    in_bounds = (
-        (F.col("idx") < F.lit(1 << 20))
-        & (F.col("doc") >= 0) & (F.col("doc") < F.lit(1 << 43))
-    )
-    pack = F.when(
-        in_bounds, F.col("doc") * F.lit(1 << 20) + F.col("idx")
-    ).otherwise(
+    idx_ok = F.when(F.col("idx") < F.lit(1 << 20), F.col("idx")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("paragraph_dedup pack overflow: doc="),
                 F.col("doc").cast("string"),
                 F.lit(" idx="), F.col("idx").cast("string"),
-                F.lit(" (bounds: doc<2^43, idx<2^20)"),
+                F.lit(" (bound: idx<2^20 paragraphs per document)"),
             )
-        ).cast("long")
+        ).cast("int")
     )
-    w = Window.partitionBy(F.md5(F.col("para").cast("binary")))
-    tagged = paras.select(
+    pack = (
+        (
+            F.col("doc").cast("decimal(20,0)")
+            + F.lit(str(1 << 63)).cast("decimal(20,0)")
+        ) * F.lit(1 << 20).cast("decimal(8,0)")
+        + idx_ok.cast("decimal(7,0)")
+    ).cast("decimal(38,0)")
+    keyed = paras.select(
         "doc", "idx", "para",
+        F.unhex(F.md5(F.col("para").cast("binary"))).alias("key"),
         pack.alias("_pk"),
-        F.min(pack).over(w).alias("_first"),
-        F.count(F.lit(1)).over(w).alias("_n"),
-    ).withColumn(
+    )
+    verdicts = keyed.groupBy("key").agg(
+        F.min("_pk").alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    tagged = keyed.join(verdicts.hint("shuffle_hash"), "key").withColumn(
         "_keep",
         (F.col("_pk") == F.col("_first")) if keep == "first"
         else (F.col("_n") == 1),

@@ -791,15 +791,16 @@ WITH d AS (
   FROM parts CROSS JOIN unnest(range(0, length(ps))) AS u(i)
   WHERE trim(ps[u.i + 1]) <> ''
 ), m AS (
-  SELECT doc_id, idx, para, doc_id * 1048576 + idx AS pk,
-         min(doc_id * 1048576 + idx) OVER (PARTITION BY md5(para)) AS fp
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, idx) AS rn
   FROM p
 )
 SELECT doc_id,
-       coalesce(string_agg(CASE WHEN pk = fp THEN para END,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
                            chr(10) ORDER BY idx), '') AS clean_text,
        CAST(count(*) AS BIGINT) AS n_paras,
-       CAST(count(CASE WHEN pk = fp THEN 1 END) AS BIGINT) AS n_kept
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept
 FROM m GROUP BY doc_id
 """
 

@@ -853,6 +853,11 @@ class CrawlEngine:
     def _maintenance_commit(self, frontier: DataFrame) -> int:
         """Commit an edited frontier (+ carried filter/cookie/inc
         state) as snapshot latest+1 and make it the live frontier."""
+        # join any in-flight async superstep commit FIRST: latest_wave()
+        # read before that commit lands would hand out the same wave id
+        # and clobber the superstep's snapshot (a caller driving
+        # run_superstep directly never passes through flush_commits)
+        self._join_commit()
         if self._inc_hashes is None:
             self._load_inc_state()
         if self.cfg.use_bloom and self._bloom_df is None:

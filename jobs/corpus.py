@@ -76,8 +76,11 @@ def warc_front_end(files_df, host_template_den: int = 0):
         pages.select("url", "warc_ts")
         .join(main.filter(F.col("n_good") > 0), "url")
         .select(
-            # 2^43 bound matches paragraph_dedup's pack guard
-            F.pmod(F.xxhash64("url"), F.lit(1 << 43)).alias("doc_id"),
+            # full 64-bit content-addressed id (r6: the previous
+            # pmod(·, 2^43) narrowing birthday-collides at ~2^21 urls,
+            # silently interleaving two documents' paragraphs —
+            # paragraph_dedup's decimal pack now takes any signed long)
+            F.xxhash64("url").alias("doc_id"),
             F.col("main_text").alias("text"), "url", "warc_ts",
         )
     )
@@ -103,7 +106,8 @@ def warc_front_end(files_df, host_template_den: int = 0):
 
 
 def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
-                 eval_df=None, decontam_n: int = 8):
+                 eval_df=None, decontam_n: int = 8,
+                 decontam_broadcast: bool = True):
     """Returns (result_df, stage_counts). Pure plan construction plus
     the stage-count actions."""
     from pyspark.sql import functions as F
@@ -157,7 +161,9 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
         # broadcast eval shingles, corpus side never shuffles
         from go_scrapper_spark.operators.decontam import decontaminate
 
-        survivors = decontaminate(survivors, eval_df, n=decontam_n).persist()
+        survivors = decontaminate(
+            survivors, eval_df, n=decontam_n,
+            broadcast_eval=decontam_broadcast).persist()
         counts["after_decontam"] = survivors.count()
 
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
@@ -167,7 +173,9 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
 
 def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
                   near_dup_matches: int = 6, eval_df=None,
-                  decontam_n: int = 8):
+                  decontam_n: int = 8, existing_sigs=None,
+                  decontam_broadcast: bool = True,
+                  verbose_counts: bool = False):
     """Incremental corpus maintenance: clean a NEW crawl segment and
     dedup it against the STANDING corpus without re-processing the
     corpus itself — the nightly operation of a continuously-crawling
@@ -186,16 +194,21 @@ def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
       - shares an n-gram with the eval set (when eval_df is given).
 
     Scale shape: the standing corpus contributes ONE content-hash
-    anti-join plus the cross band join (in production both read
-    precomputed hash/signature tables, so the 10^9-doc side is never
-    re-shingled); every quadratic-risk stage touches only the new
-    segment."""
+    anti-join plus the cross band join; pass ``existing_sigs`` (a
+    stored ``minhash_signatures`` parquet, ``--sigs`` in the CLI) and
+    the 10^9-doc side is never re-shingled — the production nightly
+    mode. Every quadratic-risk stage touches only the new segment.
+    ``verbose_counts`` gates the standing-corpus row count (a FULL
+    scan of 10^9 docs just to fill a log dict — off by default,
+    round 6)."""
     from pyspark.sql import functions as F
 
     from go_scrapper_spark.functions import textstats
     from go_scrapper_spark.operators import dedupe
 
-    counts = {"existing": existing.count(), "new": new_docs.count()}
+    counts = {"new": new_docs.count()}
+    if verbose_counts:
+        counts["existing"] = existing.count()
 
     quality = textstats.text_quality(new_docs, text_col="text").filter(
         (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
@@ -218,7 +231,11 @@ def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
     kept.unpersist()
 
     # near-dup vs the standing corpus: existing always wins
-    cross = dedupe.minhash_lsh_pairs_cross(deduped, existing).filter(
+    cross = dedupe.minhash_lsh_pairs_cross(
+        deduped,
+        existing_docs=None if existing_sigs is not None else existing,
+        existing_sigs=existing_sigs,
+    ).filter(
         F.col("sig_matches") >= near_dup_matches
     )
     survivors = deduped.join(
@@ -243,7 +260,9 @@ def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
     if eval_df is not None:
         from go_scrapper_spark.operators.decontam import decontaminate
 
-        survivors = decontaminate(survivors, eval_df, n=decontam_n).persist()
+        survivors = decontaminate(
+            survivors, eval_df, n=decontam_n,
+            broadcast_eval=decontam_broadcast).persist()
         counts["after_decontam"] = survivors.count()
 
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
@@ -271,6 +290,25 @@ def main() -> None:
                     help="incremental mode: parquet of the standing "
                          "corpus; --out receives only the cleaned, "
                          "corpus-deduped DELTA to append")
+    ap.add_argument("--sigs",
+                    help="incremental mode: parquet of the standing "
+                         "corpus's MinHash signature table (doc, "
+                         "s0..s5) — the standing corpus is then never "
+                         "re-shingled")
+    ap.add_argument("--sigs-out",
+                    help="write the MinHash signature table of this "
+                         "run's output rows (full corpus in build "
+                         "mode, the delta in incremental mode — "
+                         "append it to the standing --sigs table for "
+                         "the next nightly run)")
+    ap.add_argument("--decontam-shuffle", action="store_true",
+                    help="join eval shingles with a shuffle-hash join "
+                         "instead of a broadcast (eval suites too "
+                         "large to broadcast)")
+    ap.add_argument("--verbose-counts", action="store_true",
+                    help="incremental mode: also count the standing "
+                         "corpus (a full extra scan — diagnostics "
+                         "only)")
     args = ap.parse_args()
 
     from go_scrapper_spark.session import get_spark
@@ -288,11 +326,16 @@ def main() -> None:
         result, counts = update_corpus(
             spark, existing, docs, args.min_tokens, args.near_dup_matches,
             eval_df=eval_df, decontam_n=args.decontam_ngram,
+            existing_sigs=(spark.read.parquet(args.sigs)
+                           if args.sigs else None),
+            decontam_broadcast=not args.decontam_shuffle,
+            verbose_counts=args.verbose_counts,
         )
     else:
         result, counts = build_corpus(
             spark, docs, args.min_tokens, args.near_dup_matches,
             eval_df=eval_df, decontam_n=args.decontam_ngram,
+            decontam_broadcast=not args.decontam_shuffle,
         )
     n_final = result.count()
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)
@@ -300,6 +343,16 @@ def main() -> None:
     # partitioned parquet dir cannot be schema-inferred back, so only
     # read-verify when something was written
     counts["written"] = spark.read.parquet(args.out).count() if n_final else 0
+    if args.sigs_out and n_final:
+        # the next nightly run reads this back via --sigs (appended to
+        # the standing table), so the growing corpus is shingled
+        # exactly once per document across its lifetime
+        from go_scrapper_spark.operators.dedupe import minhash_signatures
+
+        minhash_signatures(spark.read.parquet(args.out)).write.mode(
+            "overwrite"
+        ).parquet(args.sigs_out)
+        counts["sigs_written"] = spark.read.parquet(args.sigs_out).count()
     if args.wet_out and n_final:
         from pyspark.sql import functions as F
 

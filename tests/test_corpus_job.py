@@ -120,3 +120,55 @@ def test_update_corpus_drops_near_dups_of_existing(spark):
                                   min_tokens=5, near_dup_matches=4)
     ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
     assert ids == {901}  # near-dup dropped (4/6 sig match), fresh kept
+    # default counts never scan the standing corpus (verbose only)
+    assert "existing" not in counts
+    _, vc = update_corpus(spark, existing, segment, min_tokens=5,
+                          near_dup_matches=4, verbose_counts=True)
+    assert vc["existing"] == 5
+
+
+def test_cross_lsh_sigs_path_equals_docs_path(spark):
+    """minhash_lsh_pairs_cross(existing_sigs=stored table) — the
+    production nightly mode where the standing corpus is never
+    re-shingled — must produce exactly the pairs the raw-docs path
+    produces."""
+    from go_scrapper_spark.operators import dedupe
+
+    docs = spark.read.parquet(DOCS)
+    existing = docs.filter(F.col("doc_id") < 40)
+    segment = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text")
+
+    via_docs = {(r["doc_new"], r["doc_old"], r["sig_matches"])
+                for r in dedupe.minhash_lsh_pairs_cross(
+                    segment, existing).collect()}
+    sigs = dedupe.minhash_signatures(existing)
+    via_sigs = {(r["doc_new"], r["doc_old"], r["sig_matches"])
+                for r in dedupe.minhash_lsh_pairs_cross(
+                    segment, existing_sigs=sigs).collect()}
+    assert via_docs == via_sigs and len(via_docs) >= 15
+
+    with pytest.raises(ValueError):
+        dedupe.minhash_lsh_pairs_cross(segment)
+    with pytest.raises(ValueError):
+        dedupe.minhash_lsh_pairs_cross(segment, existing,
+                                       existing_sigs=sigs)
+
+
+def test_update_corpus_with_stored_sigs_matches_raw(spark):
+    from corpus import update_corpus
+
+    docs = spark.read.parquet(DOCS)
+    existing = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    segment = docs.filter(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 70)
+    ).select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+
+    from go_scrapper_spark.operators.dedupe import minhash_signatures
+    sigs = minhash_signatures(existing)
+    raw, _ = update_corpus(spark, existing, segment,
+                           min_tokens=5, near_dup_matches=6)
+    via, _ = update_corpus(spark, existing, segment, min_tokens=5,
+                           near_dup_matches=6, existing_sigs=sigs)
+    assert ({r["doc_id"] for r in raw.select("doc_id").collect()}
+            == {r["doc_id"] for r in via.select("doc_id").collect()})

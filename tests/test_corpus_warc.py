@@ -64,7 +64,13 @@ def test_front_end_doc_ids_deterministic(spark, warc_files):
     b = {r["doc_id"] for r in
          warc_front_end(warc_files.repartition(7)).collect()}
     assert a == b and len(a) == 24
-    assert all(0 <= d < (1 << 43) for d in a)
+    # full 64-bit xxhash64(url) — no modular narrowing (r6: pmod 2^43
+    # birthday-collides at ~2^21 urls); negatives are expected
+    assert any(d < 0 for d in a)
+    expect = {r["h"] for r in warc_files.sparkSession.createDataFrame(
+        [(f"https://site{i % 3}.example.com/doc/{i}",) for i in range(24)],
+        "url string").select(F.xxhash64("url").alias("h")).collect()}
+    assert a == expect
 
 
 def test_warc_to_corpus_to_wet_roundtrip(spark, warc_files, tmp_path):

@@ -432,11 +432,30 @@ def test_paragraph_dedup_order_preserved_and_idempotent(spark):
     assert again["clean_text"] == text
 
 
-def test_paragraph_dedup_pack_overflow_raises(spark):
+def test_paragraph_dedup_idx_overflow_raises(spark):
+    # 2^20 + 1 paragraphs in one document crosses the idx pack budget
     docs = spark.createDataFrame(
-        [(1 << 43, "over the doc-id bound")], "doc_id long, text string")
+        [(1, "\n".join(f"p{i}" for i in range((1 << 20) + 1)))],
+        "doc_id long, text string")
     with pytest.raises(Exception, match="pack overflow"):
         dedupe.paragraph_dedup(docs).collect()
+
+
+def test_paragraph_dedup_full_64bit_doc_ids(spark):
+    """Content-addressed ids (xxhash64) span the full signed-long
+    range; the decimal pack must order them exactly — the negative id
+    is the globally first occurrence and keeps the canonical copy
+    (the r5 2^43 pack bound rejected these outright)."""
+    docs = spark.createDataFrame(
+        [(-(1 << 62) - 17, "shared boiler\nneg unique"),
+         ((1 << 62) + 23, "pos unique\nshared boiler"),
+         (1 << 43, "over the old doc-id bound\nshared boiler")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedupe.paragraph_dedup(docs).collect()}
+    assert out[-(1 << 62) - 17] == "shared boiler\nneg unique"
+    assert out[(1 << 62) + 23] == "pos unique"
+    assert out[1 << 43] == "over the old doc-id bound"
 
 
 def test_paragraph_dedup_rejects_bad_mode(spark):
@@ -475,6 +494,10 @@ def test_decontamination_flags_and_removes(spark):
                 docs, evals, n=5, broadcast_eval=False).collect()}
     assert rep2 == {d: (r["n_hits"], r["n_eval_docs"])
                     for d, r in rep.items()}
+    # ...and reachable end-to-end through decontaminate() (r6: a huge
+    # eval suite previously had no knob to flip off the broadcast)
+    clean2 = decontam.decontaminate(docs, evals, n=5, broadcast_eval=False)
+    assert {r["doc_id"] for r in clean2.collect()} == {1, 3}
 
 
 def test_decontamination_short_docs_never_explode(spark):
