@@ -17,6 +17,8 @@ Env knobs:
   BENCH_N_BIZ          synthetic-web size for the crawl bench (default 6000)
   BENCH_SKIP_QUERIES   "1" → only the crawl/extract headline
   BENCH_SKIP_SCALING   "1" → skip the in-band N→4N scaling section
+  BENCH_SKIP_CORPUS    "1" → skip the corpus_e2e pipeline section
+  BENCH_CORPUS_DOCS    corpus_e2e input size (default 1000000)
 
 Scaling evidence (the north rule's two-cluster-size criterion) is
 reported IN-BAND: after the headline at $SPARK_GRAFT_CPUS, the
@@ -176,6 +178,193 @@ def crawl_bench(spark, n_biz: int, max_parallel: int | None = None,
         "crawl_sec": round(wall, 2),
         "crawl_pages_per_sec": round(total["fetched"] / wall, 1),
         "wave_secs": total.get("wave_secs", []),
+        "wave_phases": total.get("wave_phases", []),
+    }
+
+
+def ensure_corpus_pages(spark, n_docs: int) -> str:
+    """Deterministic synthetic web-page corpus for the corpus_e2e
+    pipeline bench — (url, warc_ts, html) rows generated entirely with
+    codegen'd SQL expressions (no Python), cached as parquet on tmpfs
+    like the crawl corpus. Planted structure so every pipeline stage
+    has real work:
+
+    - a global cookie-banner paragraph on EVERY page (paragraph dedup
+      keeps exactly one copy corpus-wide),
+    - a per-host chrome paragraph on every page of the host
+      (host_template_strip drops every occurrence),
+    - nav/footer markup (boilerplate extraction strips it),
+    - per 100 docs: one near-dup pair (ids 100k/100k+1 share prose,
+      the variant appends one word per paragraph — survives paragraph
+      dedup, caught by MinHash LSH) and one exact text copy (ids
+      100k+2 copies 100k — paragraph dedup empties the later copy),
+    - every 997th doc doubles as an eval-set document
+      (decontamination drops it for self-overlap).
+
+    Prose filler words are md5-derived from (content_key, para, i) so
+    every 3-gram shingle contains a doc-specific token — no accidental
+    cross-doc LSH band collisions."""
+    path = os.path.join(_PAGES_ROOT, f"bench_corpus_{n_docs}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    n_hosts = 64
+    ids = spark.range(n_docs)
+    ck = (
+        F.when(F.col("id") % 100 == 1, F.col("id") - 1)
+        .when(F.col("id") % 100 == 2, F.col("id") - 2)
+        .otherwise(F.col("id"))
+    ).cast("string")
+    variant = F.col("id") % 100 == 1
+    host = (F.col("id") % n_hosts).cast("string")
+
+    def para(j: int):
+        ws = [
+            F.substring(
+                F.md5(F.concat_ws("-", ck, F.lit(str(j)), F.lit(str(i)))),
+                1, 6,
+            )
+            for i in range(8)
+        ]
+        base = F.concat_ws(
+            " ", F.lit("the doc"), ck, F.lit(f"para{j} says"), *ws
+        )
+        return F.when(
+            variant, F.concat(base, F.lit(" x"), F.col("id").cast("string"))
+        ).otherwise(base)
+
+    banner = ("We use cookies on this site to improve the browsing "
+              "experience and analyze traffic patterns for the team")
+    chrome = F.concat(
+        F.lit("the host "), host,
+        F.lit(" chrome menu about contact privacy terms sitemap careers"),
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">home page</a> '
+              '<a href="/about">about the site and team</a></nav><p>'),
+        F.lit(banner), F.lit("</p><p>"), chrome,
+        F.lit("</p><p>"), para(0), F.lit("</p><p>"), para(1),
+        F.lit("</p><p>"), para(2),
+        F.lit("</p><footer>(c) bench</footer></body></html>"),
+    )
+    ids.select(
+        F.concat(F.lit("https://host"), host, F.lit(".example.com/p/"),
+                 F.col("id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+    ).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def corpus_bench(spark) -> dict:
+    """End-to-end LLM-corpus pipeline bench (VERDICT r5 item 6) — the
+    corpus twin of crawl_e2e: WARC encode → parse → boilerplate strip →
+    per-host template strip → paragraph dedup → quality gate → exact
+    dedup → near-dup prune → decontamination → language-partitioned
+    parquet → WET export, each stage materialized and timed (the same
+    operators jobs/corpus.py --warc composes; materializing between
+    stages is what attributes the seconds). Input synthesis is cached
+    and excluded from the timing."""
+    import shutil
+
+    from go_scrapper_spark.functions.boilerplate import extract_main_content
+    from go_scrapper_spark.operators.dedupe import (host_template_strip,
+                                                    paragraph_dedup)
+    from go_scrapper_spark.sources import warc as w
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "jobs"))
+    from corpus import build_corpus
+
+    n_docs = int(os.environ.get("BENCH_CORPUS_DOCS", "1000000"))
+    pages_src = spark.read.parquet(ensure_corpus_pages(spark, n_docs))
+    work = tempfile.mkdtemp(prefix="bench-corpus-", dir=_PAGES_ROOT)
+    stage: dict = {}
+    t_all = time.time()
+
+    t0 = time.time()
+    w.pages_to_warc(pages_src, n_files=64).write.mode("overwrite").parquet(
+        os.path.join(work, "warc"))
+    stage["warc_encode"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pages = w.warc_to_pages(
+        spark.read.parquet(os.path.join(work, "warc"))).persist()
+    n_parsed = pages.count()
+    stage["warc_parse"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    main = extract_main_content(pages, id_col="url").filter(
+        F.col("n_good") > 0)
+    docs0 = (
+        pages.select("url", "warc_ts").join(main, "url")
+        .select(F.xxhash64("url").alias("doc_id"),
+                F.col("main_text").alias("text"), "url", "warc_ts")
+        .persist()
+    )
+    docs0.count()
+    stage["boilerplate"] = round(time.time() - t0, 2)
+    pages.unpersist()
+
+    t0 = time.time()
+    hosted = docs0.withColumn(
+        "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+    stripped = host_template_strip(hosted, min_docs=2, num=1, den=2)
+    docs1 = (
+        docs0.select("doc_id", "url", "warc_ts")
+        .join(stripped.filter(F.col("n_kept") > 0), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"),
+                "url", "warc_ts")
+        .persist()
+    )
+    docs1.count()
+    stage["host_template_strip"] = round(time.time() - t0, 2)
+    docs0.unpersist()
+
+    t0 = time.time()
+    cleaned = paragraph_dedup(docs1, sep="\n")
+    docs2 = (
+        docs1.select("doc_id", "url", "warc_ts")
+        .join(cleaned.filter(F.col("n_kept") > 0), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"),
+                "url", "warc_ts")
+        .persist()
+    )
+    n_front = docs2.count()
+    stage["paragraph_dedup"] = round(time.time() - t0, 2)
+    docs1.unpersist()
+
+    evals = docs2.filter(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") % 997 == 0
+    ).select(F.col("doc_id").alias("eval_id"), "text")
+
+    result, counts = build_corpus(spark, docs2, min_tokens=20,
+                                  near_dup_matches=4, eval_df=evals)
+    stage.update({f"corpus_{k}": v
+                  for k, v in counts["stage_secs"].items()})
+
+    t0 = time.time()
+    result.write.mode("overwrite").partitionBy("lang_guess").parquet(
+        os.path.join(work, "out"))
+    stage["lang_write"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    final = spark.read.parquet(os.path.join(work, "out"))
+    w.pages_to_wet(
+        final.select("url", "warc_ts", "text"), n_files=32
+    ).write.mode("overwrite").parquet(os.path.join(work, "wet"))
+    stage["wet_export"] = round(time.time() - t0, 2)
+
+    total = round(time.time() - t_all, 2)
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "corpus_docs_in": n_docs,
+        "corpus_pages_parsed": n_parsed,
+        "corpus_front_end_docs": n_front,
+        "corpus_counts": {k: v for k, v in counts.items()
+                          if k != "stage_secs"},
+        "corpus_stage_secs": stage,
+        "corpus_e2e_sec": total,
+        "corpus_docs_per_sec": round(n_docs / total, 1),
     }
 
 
@@ -487,6 +676,12 @@ def main():
             f"{skew['skew_max_host_rows_per_wave_capped']} > {sk_cap}"
         )
 
+    # End-to-end corpus pipeline (VERDICT r5 item 6): the LLM tier was
+    # oracle-timed per-op but never benched as a composed pipeline
+    corpus: dict = {}
+    if os.environ.get("BENCH_SKIP_CORPUS") != "1":
+        corpus = corpus_bench(spark)
+
     scaling: dict = {}
     # the scaling section controls parallelism via get_spark(cores=...),
     # which an explicit SPARK_MASTER or a spark-submit launch overrides —
@@ -685,6 +880,7 @@ def main():
         **samples,
         **recall,
         **skew,
+        **corpus,
         **scaling,
     }
     # The driver records only the last ~2000 chars of stdout (BENCH_r04
@@ -732,6 +928,8 @@ def main():
         "crawl_scaling_efficiency_n_to_4n",
         "io_scan_scaling_efficiency", "io_encode_scaling_efficiency",
         "io_ceiling_scaling_efficiency", "crawl_scaling_vs_io_ceiling",
+        "corpus_docs_in", "corpus_e2e_sec", "corpus_docs_per_sec",
+        "corpus_stage_secs",
     ] + [k for k in out if k.startswith(("crawl_pps_", "skew_"))
          and k != "crawl_pps_samples"
          and not k.startswith(("skew_wave_secs_", "skew_med_"))]

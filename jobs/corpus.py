@@ -109,7 +109,11 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
                  eval_df=None, decontam_n: int = 8,
                  decontam_broadcast: bool = True):
     """Returns (result_df, stage_counts). Pure plan construction plus
-    the stage-count actions."""
+    the stage-count actions; ``counts["stage_secs"]`` carries the wall
+    seconds of each stage's materializing action (the count), so the
+    CLI summary and bench double as a stage profile."""
+    import time
+
     from pyspark.sql import functions as F
 
     from go_scrapper_spark.functions import textstats
@@ -117,7 +121,10 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
 
     docs = docs.persist()
     counts = {"input": docs.count()}
+    secs: dict = {}
+    counts["stage_secs"] = secs
 
+    t0 = time.time()
     quality = textstats.text_quality(docs, text_col="text").filter(
         (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
     )
@@ -126,7 +133,9 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     # LSH candidate join) once per downstream action
     kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi").persist()
     counts["after_quality"] = kept.count()
+    secs["quality"] = round(time.time() - t0, 2)
     docs.unpersist()
+    t0 = time.time()
 
     # exact dedup: canonical doc per content hash
     canon = dedupe.exact_dedup_groups(kept).select(
@@ -134,7 +143,9 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     )
     deduped = kept.join(canon, "doc_id", "left_semi").persist()
     counts["after_exact_dedup"] = deduped.count()
+    secs["exact_dedup"] = round(time.time() - t0, 2)
     kept.unpersist()
+    t0 = time.time()
 
     # near-dup prune: strong candidate pairs → connected components →
     # keep exactly one doc (the min id) per TRANSITIVE cluster. A pure
@@ -153,6 +164,7 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     )
     survivors = deduped.join(keepers, "doc_id", "left_semi").persist()
     counts["after_near_dup"] = survivors.count()
+    secs["near_dup"] = round(time.time() - t0, 2)
     deduped.unpersist()
 
     if eval_df is not None:
@@ -161,10 +173,12 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
         # broadcast eval shingles, corpus side never shuffles
         from go_scrapper_spark.operators.decontam import decontaminate
 
+        t0 = time.time()
         survivors = decontaminate(
             survivors, eval_df, n=decontam_n,
             broadcast_eval=decontam_broadcast).persist()
         counts["after_decontam"] = survivors.count()
+        secs["decontam"] = round(time.time() - t0, 2)
 
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
     result = survivors.join(lang, "doc_id")

@@ -41,6 +41,7 @@ def run_at(cores: int, n_biz: int) -> dict:
         BENCH_CRAWL_SAMPLES="1",  # the pairs loop below is the sampler
         BENCH_EXTRACT_X="1",
         BENCH_SKIP_SKEW="1",  # the skew section is not a scaling leg
+        BENCH_SKIP_CORPUS="1",  # the corpus pipeline is not a scaling leg
         # the round-4+ crawl gate config: wave widths in the cluster
         # regime so the per-wave control floor amortizes
         BENCH_MAX_PARALLEL=os.environ.get("BENCH_MAX_PARALLEL", "20000"),
