@@ -30,13 +30,58 @@ def free_local_checkpoint(df: DataFrame) -> None:
     held by the RDD, not the CacheManager), so iterative algorithms
     that checkpoint per-round would otherwise accumulate superseded
     label frames in storage memory until driver GC gets around to
-    them. ``df`` must be the frame localCheckpoint() returned (its
-    analyzed plan is the LogicalRDD holding the rdd); best-effort —
-    a failure just means the block lives until ContextCleaner GC."""
+    them. ``df`` must be the frame localCheckpoint() (or
+    ``local_checkpoint_no_stats``) returned (its analyzed plan is the
+    LogicalRDD holding the rdd); best-effort — a failure just means
+    the block lives until ContextCleaner GC."""
+    # frames from local_checkpoint_no_stats are a stats-free rewrap;
+    # the persisted blocks belong to the original checkpoint frame
+    df = getattr(df, "_ckpt_origin", df)
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
         pass
+
+
+def local_checkpoint_no_stats(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that also TRUNCATES the plan's
+    cost statistics, not just its lineage.
+
+    Spark's ``Dataset.localCheckpoint`` preserves the origin plan's
+    computed statistics on the resulting ``LogicalRDD`` (so a
+    checkpoint doesn't lose CBO information). For an ITERATIVE plan
+    that joins the checkpointed frame against a frame derived from
+    itself — exactly the crawl frontier's shape, ``frontier ⋈
+    f(frontier)`` per superstep — the size-only estimator multiplies
+    the two sizeInBytes, so the carried estimate SQUARES every
+    iteration: its digit count doubles per wave and by iteration ~20
+    every Catalyst pass on the driver is multiplying million-digit
+    BigIntegers (jstack: ``BigInteger.multiplyToomCook3`` /
+    ``scala.math.BigDecimal``). Measured on the politeness-capped
+    skew crawl: wave ckpt 2.4 s → 69.8 s over four waves, final
+    commit join ~8 min — 100% driver CPU, zero running tasks.
+
+    The fix: re-wrap the checkpointed RDD as a fresh LogicalRDD with
+    no origin stats (``internalCreateDataFrame``), so every iteration
+    restarts from the conf default sizeInBytes. Runtime join
+    selection is unaffected — AQE replans from TRUE runtime sizes,
+    and the engine's scale-critical joins carry explicit hints. The
+    returned frame keeps a reference to the raw checkpoint so
+    ``free_local_checkpoint`` can still release its blocks."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        j_new = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(j_new, spark)
+    except Exception:
+        # private-API drift on a future Spark: degrade to the plain
+        # checkpoint (correct, but re-grows stats per iteration)
+        return ck
+    out._ckpt_origin = ck
+    return out
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
@@ -259,9 +304,9 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)  # materialize ONCE — the pair-generation
     # subtree (LSH joins) must not recompute every iteration
-    ckpt = vertices.select(
+    ckpt = local_checkpoint_no_stats(vertices.select(
         F.col("doc"), F.col("doc").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    ))
     labels = ckpt
     converged = False
     for _ in range(max_iters):
@@ -277,7 +322,8 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias("cluster_id"),
                 (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias("_chg"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        nxt = local_checkpoint_no_stats(nxt)
         changed = nxt.filter(F.col("_chg")).count()
         # nxt is materialized, so the previous round's checkpoint
         # blocks are dead weight — free them now instead of letting

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from go_scrapper_spark.operators.dedupe import free_local_checkpoint
+from go_scrapper_spark.operators.dedupe import (free_local_checkpoint,
+                                                local_checkpoint_no_stats)
 
 
 def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
@@ -39,9 +40,9 @@ def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
     base = 1_000_000 - damping_permille * 1000
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = vertices.select(
+    ranks = local_checkpoint_no_stats(vertices.select(
         "v", F.lit(1_000_000).cast("long").alias("rank")
-    ).localCheckpoint(eager=True)
+    ))
     for _ in range(iters):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.v)
@@ -61,8 +62,8 @@ def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
                     )
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = local_checkpoint_no_stats(ranks)
         free_local_checkpoint(prev)  # superseded round's blocks
     free_local_checkpoint(edges_deg)
     return ranks

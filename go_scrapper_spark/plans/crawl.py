@@ -29,6 +29,7 @@ identical semantics.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -39,6 +40,7 @@ from pyspark.sql import types as T
 
 from go_scrapper_spark.functions.extract import extract_pages
 from go_scrapper_spark.functions.urltools import canonicalize_udf
+from go_scrapper_spark.operators.dedupe import local_checkpoint_no_stats
 from go_scrapper_spark.operators.politeness import apply_robots
 from go_scrapper_spark.operators.wave import host_budget, select_wave
 from go_scrapper_spark.sources.storage import SnapshotStore
@@ -174,6 +176,7 @@ class CrawlEngine:
         self._pending_metrics: list[tuple] = []
         # persisted wave subtrees awaiting the next snapshot commit
         self._pending_mats: list[DataFrame] = []
+        self._last_commit_wait: float = 0.0
         # bloom seen-filter state (use_bloom): the per-bucket bloom
         # TABLE (bucket, bloom, m_bits, k_hashes) — held as an eagerly
         # checkpointed DataFrame between waves, merged distributively
@@ -284,7 +287,7 @@ class CrawlEngine:
         # seed commit instead of waiting on it, and never re-reads the
         # snapshot it is derived from. (run() / flush_commits() joins
         # before anything reads the store.)
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = local_checkpoint_no_stats(frontier)
         self._frontier_cache = frontier
         seen = frontier.select(
             "url_hash",
@@ -360,12 +363,22 @@ class CrawlEngine:
                 F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
             )
             seen_df = ops["build"](seen0)
-        self._bloom_df = seen_df.localCheckpoint(eager=True)
+        self._bloom_df = local_checkpoint_no_stats(seen_df)
 
     def run_superstep(self, wave_id: int) -> dict:
         """One wave. Returns per-wave metric dict; 'fetched'==0 with
-        'pending'==0 means the crawl is complete."""
+        'pending'==0 means the crawl is complete. stats['phase_secs']
+        carries the wave's driver-side phase breakdown (plan build /
+        checkpoint / metrics / commit) — the skew-tail audit's
+        instrument."""
         cfg = self.cfg
+        _phases: dict = {}
+        _pt = [time.time()]
+
+        def _ph(name: str) -> None:
+            now = time.time()
+            _phases[name] = round(now - _pt[0], 2)
+            _pt[0] = now
         if self._frontier_cache is not None:
             frontier = self._frontier_cache
         else:
@@ -377,8 +390,6 @@ class CrawlEngine:
 
         if cfg.cookies and self._cookie_df is None:
             # resume path: reuse the committed jar; fresh start: empty
-            import os
-
             latest = self.store.latest_wave()
             snap_ck = (
                 os.path.join(self.store._snap_dir(latest), "cookies")
@@ -389,7 +400,7 @@ class CrawlEngine:
                 ck = self.store.read_snapshot_table(latest, "cookies")
             else:
                 ck = self.spark.createDataFrame([], "host string, cookie string")
-            self._cookie_df = ck.localCheckpoint(eager=True)
+            self._cookie_df = local_checkpoint_no_stats(ck)
 
         pending = frontier.filter(
             (F.col("state") == "pending") & (F.col("attempt") < cfg.max_attempts)
@@ -555,9 +566,9 @@ class CrawlEngine:
                 "url_hash",
                 F.pmod("url_hash", F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
             )
-            merged = self._seen_ops()["merge"](
-                self._bloom_df, delta
-            ).localCheckpoint(eager=True)
+            merged = local_checkpoint_no_stats(
+                self._seen_ops()["merge"](self._bloom_df, delta)
+            )
             # graveyard, not immediate unpersist: an in-flight async
             # commit may still be writing the superseded filter table
             self._frontier_history.append(self._bloom_df)
@@ -589,14 +600,13 @@ class CrawlEngine:
                     ).alias("cookie"),
                 )
             )
-            merged_ck = (
+            merged_ck = local_checkpoint_no_stats(
                 self._cookie_df.alias("o")
                 .join(last.alias("n"), "host", "full")
                 .select(
                     "host",
                     F.coalesce(F.col("n.cookie"), F.col("o.cookie")).alias("cookie"),
                 )
-                .localCheckpoint(eager=True)
             )
             self._frontier_history.append(self._cookie_df)
             self._cookie_df = merged_ck
@@ -660,10 +670,21 @@ class CrawlEngine:
         # immediately. The superseded checkpoint is NOT freed here:
         # this window's pending persists recompute through it on
         # eviction, so it lives until the commit's free step.
-        new_frontier = frontier_next.localCheckpoint(eager=True)
+        _ph("plan")
+        if os.environ.get("CRAWL_PHASE_DEBUG") == "1":
+            # split the ckpt phase: Catalyst analysis+optimization+
+            # physical planning (driver-only) vs the checkpoint job
+            frontier_next._jdf.queryExecution().executedPlan()
+            _ph("qplan")
+        new_frontier = local_checkpoint_no_stats(frontier_next)
         if self._frontier_cache is not None:
             self._frontier_history.append(self._frontier_cache)
         self._frontier_cache = new_frontier
+        _ph("ckpt")
+        if os.environ.get("CRAWL_PHASE_DEBUG") == "1":
+            _phases["parts"] = new_frontier.rdd.getNumPartitions()
+            _phases["rows"] = new_frontier.count()
+            _ph("dbg")
 
         if cfg.metrics:
             # micro-job over the now-warm caches: crossJoin of the
@@ -706,6 +727,7 @@ class CrawlEngine:
                 # cfg.metrics
                 "discovered": new_rows.count(),
             }
+        _ph("metrics")
         self._pending_metrics.extend(
             (wave_id, k, int(v)) for k, v in stats.items() if k != "wave_id"
         )
@@ -749,8 +771,11 @@ class CrawlEngine:
                 # cookie jar rides the snapshot → resume carries state
                 tables["cookies"] = self._cookie_df
             self._submit_commit(wave_id, tables)
+            _phases["commit_wait"] = self._last_commit_wait
+        _ph("commit")
         fetched.unpersist()
         stats["pending"] = None  # filled by run()
+        stats["phase_secs"] = _phases
         return stats
 
     def _submit_commit(self, wave_id: int, tables: dict) -> None:
@@ -780,7 +805,9 @@ class CrawlEngine:
 
         # strict commit ordering: wait for the previous in-flight
         # commit before starting this one (also re-raises its errors)
+        _t_wait = time.time()
         self._join_commit()
+        self._last_commit_wait = round(time.time() - _t_wait, 2)
         if not self.cfg.async_commit:
             _commit_and_free()
             return
@@ -804,12 +831,13 @@ class CrawlEngine:
             self.seed(seeds_df)
             latest = 0
         total = {"supersteps": 0, "fetched": 0, "reviews": 0, "attempted": 0,
-                 "bytes": 0, "wave_secs": []}
+                 "bytes": 0, "wave_secs": [], "wave_phases": []}
         for wave_id in range(latest + 1, self.cfg.max_supersteps + 1):
             t_w = time.time()
             stats = self.run_superstep(wave_id)
             total["supersteps"] += 1
             total["wave_secs"].append(round(time.time() - t_w, 2))
+            total["wave_phases"].append(stats.get("phase_secs", {}))
             for k in ("fetched", "reviews", "attempted", "bytes"):
                 total[k] += stats[k]
             if stats["attempted"] == 0:
@@ -866,7 +894,7 @@ class CrawlEngine:
             # only state/attempt; expire sets _bloom_df itself first)
             self._ensure_seen_filter(frontier)
         wave = (self.store.latest_wave() or 0) + 1
-        frontier = frontier.localCheckpoint(eager=True)
+        frontier = local_checkpoint_no_stats(frontier)
         if self._frontier_cache is not None:
             self._frontier_history.append(self._frontier_cache)
         self._frontier_cache = frontier
@@ -959,7 +987,7 @@ class CrawlEngine:
                     )
                 )
             self._frontier_history.append(self._bloom_df)
-            self._bloom_df = updated.localCheckpoint(eager=True)
+            self._bloom_df = local_checkpoint_no_stats(updated)
         self._maintenance_commit(new_frontier)
         return n
 
