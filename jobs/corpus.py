@@ -128,10 +128,15 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     quality = textstats.text_quality(docs, text_col="text").filter(
         (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
     )
-    # persist each surviving set: the stage counts AND the final write
-    # would otherwise re-execute the whole upstream chain (including the
-    # LSH candidate join) once per downstream action
-    kept = docs.join(quality.select("doc_id"), "doc_id", "left_semi").persist()
+    # CHECKPOINT each surviving set (stats-free), don't chain persists:
+    # a cached frame's plan embeds its whole upstream lineage, so five
+    # chained stages make every later action re-analyze (and render,
+    # for the SQL-listener event) a plan containing the full front-end
+    # expression trees — measured as tens of driver-seconds per action
+    # at depth 5+. The checkpoint truncates the plan to a scan; the
+    # count it needs anyway doubles as the materializer.
+    kept = dedupe.local_checkpoint_no_stats(
+        docs.join(quality.select("doc_id"), "doc_id", "left_semi"))
     counts["after_quality"] = kept.count()
     secs["quality"] = round(time.time() - t0, 2)
     docs.unpersist()
@@ -141,10 +146,11 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     canon = dedupe.exact_dedup_groups(kept).select(
         F.col("canonical_id").alias("doc_id")
     )
-    deduped = kept.join(canon, "doc_id", "left_semi").persist()
+    deduped = dedupe.local_checkpoint_no_stats(
+        kept.join(canon, "doc_id", "left_semi"))
     counts["after_exact_dedup"] = deduped.count()
     secs["exact_dedup"] = round(time.time() - t0, 2)
-    kept.unpersist()
+    dedupe.free_local_checkpoint(kept)
     t0 = time.time()
 
     # near-dup prune: strong candidate pairs → connected components →
@@ -155,17 +161,33 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     pairs = dedupe.minhash_lsh_pairs(deduped).filter(
         F.col("sig_matches") >= near_dup_matches
     )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    clusters = dedupe.connected_components(
-        deduped.select(F.col("doc_id").alias("doc")), edges
+    # persist: the LSH candidate join feeds BOTH the endpoint vertex
+    # set and the component loop's symmetrized edge checkpoint
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
+    # label only the docs that appear in some near-dup pair — a doc in
+    # no edge is trivially its own cluster and survives, so iterating
+    # the component loop over the WHOLE corpus (10^9 vertices for a
+    # near-dup graph of maybe 10^6 endpoints) would pay a full-corpus
+    # join per iteration for rows whose label can never change. The
+    # keep rule is unchanged: min doc id per transitive cluster.
+    endpoints = (
+        edges.select(F.col("src").alias("doc"))
+        .unionByName(edges.select(F.col("dst").alias("doc")))
+        .distinct()
     )
-    keepers = clusters.filter(F.col("doc") == F.col("cluster_id")).select(
+    clusters = dedupe.connected_components(endpoints, edges)
+    losers = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
         F.col("doc").alias("doc_id")
     )
-    survivors = deduped.join(keepers, "doc_id", "left_semi").persist()
+    survivors = dedupe.local_checkpoint_no_stats(deduped.join(
+        losers.hint("shuffle_hash"), "doc_id", "left_anti"
+    ))
     counts["after_near_dup"] = survivors.count()
+    edges.unpersist()
     secs["near_dup"] = round(time.time() - t0, 2)
-    deduped.unpersist()
+    dedupe.free_local_checkpoint(deduped)
 
     if eval_df is not None:
         # eval-set decontamination (operators/decontam.py): drop any
@@ -174,11 +196,13 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
         from go_scrapper_spark.operators.decontam import decontaminate
 
         t0 = time.time()
-        survivors = decontaminate(
+        pre = survivors
+        survivors = dedupe.local_checkpoint_no_stats(decontaminate(
             survivors, eval_df, n=decontam_n,
-            broadcast_eval=decontam_broadcast).persist()
+            broadcast_eval=decontam_broadcast))
         counts["after_decontam"] = survivors.count()
         secs["decontam"] = round(time.time() - t0, 2)
+        dedupe.free_local_checkpoint(pre)
 
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
     result = survivors.join(lang, "doc_id")
@@ -227,7 +251,10 @@ def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
     quality = textstats.text_quality(new_docs, text_col="text").filter(
         (F.col("quality_band") == "keep") & (F.col("n_tokens") >= min_tokens)
     )
-    kept = new_docs.join(quality.select("doc_id"), "doc_id", "left_semi")         .persist()
+    # checkpoint between stages, not chained persists — bounds the
+    # plan every later action re-analyzes (see build_corpus)
+    kept = dedupe.local_checkpoint_no_stats(
+        new_docs.join(quality.select("doc_id"), "doc_id", "left_semi"))
     counts["after_quality"] = kept.count()
 
     # exact: drop content hashes the corpus already holds, then keep
@@ -240,9 +267,10 @@ def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
     canon = dedupe.exact_dedup_groups(fresh).select(
         F.col("canonical_id").alias("doc_id")
     )
-    deduped = fresh.join(canon, "doc_id", "left_semi").persist()
+    deduped = dedupe.local_checkpoint_no_stats(
+        fresh.join(canon, "doc_id", "left_semi"))
     counts["after_exact_dedup"] = deduped.count()
-    kept.unpersist()
+    dedupe.free_local_checkpoint(kept)
 
     # near-dup vs the standing corpus: existing always wins
     cross = dedupe.minhash_lsh_pairs_cross(
@@ -256,28 +284,40 @@ def update_corpus(spark, existing, new_docs, min_tokens: int = 20,
         cross.select(F.col("doc_new").alias("doc_id")).distinct(),
         "doc_id", "left_anti",
     )
-    # near-dup within the batch: transitive clusters keep min id
+    # near-dup within the batch: transitive clusters keep min id.
+    # Component labeling runs over edge ENDPOINTS only (same shape as
+    # build_corpus): a doc in no near-dup pair can never lose.
     pairs = dedupe.minhash_lsh_pairs(survivors).filter(
         F.col("sig_matches") >= near_dup_matches
     )
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    clusters = dedupe.connected_components(
-        survivors.select(F.col("doc_id").alias("doc")), edges
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
+    endpoints = (
+        edges.select(F.col("src").alias("doc"))
+        .unionByName(edges.select(F.col("dst").alias("doc")))
+        .distinct()
     )
-    keepers = clusters.filter(F.col("doc") == F.col("cluster_id")).select(
+    clusters = dedupe.connected_components(endpoints, edges)
+    losers = clusters.filter(F.col("doc") != F.col("cluster_id")).select(
         F.col("doc").alias("doc_id")
     )
-    survivors = survivors.join(keepers, "doc_id", "left_semi").persist()
+    survivors = dedupe.local_checkpoint_no_stats(survivors.join(
+        losers.hint("shuffle_hash"), "doc_id", "left_anti"
+    ))
     counts["after_near_dup"] = survivors.count()
-    deduped.unpersist()
+    edges.unpersist()
+    dedupe.free_local_checkpoint(deduped)
 
     if eval_df is not None:
         from go_scrapper_spark.operators.decontam import decontaminate
 
-        survivors = decontaminate(
+        pre = survivors
+        survivors = dedupe.local_checkpoint_no_stats(decontaminate(
             survivors, eval_df, n=decontam_n,
-            broadcast_eval=decontam_broadcast).persist()
+            broadcast_eval=decontam_broadcast))
         counts["after_decontam"] = survivors.count()
+        dedupe.free_local_checkpoint(pre)
 
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
     result = survivors.join(lang, "doc_id")
