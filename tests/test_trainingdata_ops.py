@@ -646,3 +646,68 @@ def test_host_template_strip_thresholds(spark):
            dedupe.host_template_strip(docs2, min_docs=2, num=1, den=2)
            .collect()}
     assert got == {0: ("", 0), 1: ("", 0)}
+
+
+def test_local_checkpoint_no_stats_bounds_plan_statistics(spark):
+    """The round-6 driver-stall fix: plain localCheckpoint PRESERVES
+    the origin plan's computed statistics, and an iterative
+    self-join (the crawl frontier's shape) then SQUARES the carried
+    sizeInBytes per round — its digit count doubles until the driver
+    spends minutes multiplying million-digit BigIntegers. The
+    stats-free checkpoint must (a) return identical rows and (b) keep
+    the estimate's digit count CONSTANT across rounds."""
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.operators.dedupe import local_checkpoint_no_stats
+
+    def digits(df):
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return len(str(sz))
+
+    df = local_checkpoint_no_stats(
+        spark.range(100).select("id", F.lit("x").alias("s")))
+    d0 = digits(df)
+    for _ in range(4):
+        upd = df.select("id", F.lit("y").alias("s2"))
+        df = local_checkpoint_no_stats(
+            df.join(upd, "id", "left").select("id", "s"))
+    assert digits(df) == d0, "stats must not grow across checkpoint rounds"
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 100 and rows[0]["s"] == "x"
+
+    # the control: the plain checkpoint really does square (digit
+    # count strictly grows) — if Spark ever stops inheriting stats,
+    # this documents that the wrapper became unnecessary
+    plain = spark.range(100).select("id", F.lit("x").alias("s")) \
+        .localCheckpoint(eager=True)
+    g0 = digits(plain)
+    for _ in range(3):
+        upd = plain.select("id", F.lit("y").alias("s2"))
+        plain = plain.join(upd, "id", "left").select("id", "s") \
+            .localCheckpoint(eager=True)
+    assert digits(plain) > g0, (
+        "plain localCheckpoint no longer inherits stats on this Spark "
+        "— local_checkpoint_no_stats can be retired")
+
+
+def test_free_local_checkpoint_releases_wrapped_blocks(spark):
+    """free_local_checkpoint must reach THROUGH the stats-free wrapper
+    to the raw checkpoint frame that actually owns the persisted
+    blocks (the wrapper's own plan holds a derived, unpersisted
+    RDD)."""
+    from pyspark.sql import functions as F
+
+    from go_scrapper_spark.operators.dedupe import (
+        free_local_checkpoint, local_checkpoint_no_stats)
+
+    df = local_checkpoint_no_stats(
+        spark.range(1000).select("id", F.md5(F.col("id").cast("string")).alias("h")))
+    assert df.count() == 1000
+    sc = spark.sparkContext
+    jsc = sc._jsc.sc()
+    before = jsc.getRDDStorageInfo()
+    assert len(before) > 0, "checkpoint should hold cached blocks"
+    free_local_checkpoint(df)
+    after = [i for i in jsc.getRDDStorageInfo() if i.numCachedPartitions() > 0]
+    assert len(after) < len([i for i in before if i.numCachedPartitions() > 0]), \
+        "free must release the raw checkpoint's blocks"
