@@ -571,3 +571,110 @@ def host_template_strip(docs: DataFrame, host_col: str = "host",
         .select(F.col("doc").alias(id_col), "clean_text",
                 "n_paras", "n_kept")
     )
+
+
+def substring_dedup(docs: DataFrame, k: int = 10, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Exact substring-level dedup at word granularity — the
+    ExactSubstr stage of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), the layer BELOW paragraph
+    dedup: CCNet line-dedup catches whole repeated lines, this
+    catches repeated spans spliced INSIDE otherwise-unique text (a
+    disclaimer sentence pasted mid-paragraph, lyric/quote fragments,
+    licence boilerplate).
+
+    Rule: any k-token window whose text occurs more than once in the
+    corpus (across documents or repeated within one) is a duplicated
+    span. Every token covered by a duplicated-span occurrence OTHER
+    THAN the span's canonical copy — the globally first occurrence by
+    (doc id, position) — is removed; the canonical copy's tokens
+    survive unless another duplicated span covers them. Output: one
+    row per input document, (id, clean_text, n_tokens, n_kept);
+    tokenization is a plain split on ' ' so the DuckDB oracle can
+    reproduce the pipeline exactly (callers normalize whitespace
+    upstream if they need linguistic tokens).
+
+    Scale shape (the slim-key pattern shared with paragraph_dedup /
+    host_template_strip): window generation is pipeline-local
+    (word_shingles binds its split once); the duplicate verdict is a
+    HashAggregate over the 16-byte md5 key — ``agg(min(pack),
+    count)`` with map-side partials, so a viral k-gram occurring in
+    10^8 documents collapses to one slim row per map task before the
+    exchange. Occurrences join the verdict back on the key
+    (shuffle_hash — neither side broadcastable at corpus scale),
+    duplicated occurrences explode to covered positions (k rows
+    each, bounded), and the kept-token anti-join + reassembly group
+    on the doc id. No windows, no driver state; the canonical-copy
+    pack is the order-preserving DECIMAL(38,0) used by
+    paragraph_dedup (full signed-64-bit doc ids, position < 2^20
+    guarded with a loud raise)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(txt, " ")).alias("pos", "tok"),
+    )
+    wins = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(word_shingles(text_col, k)).alias("wpos", "gram"),
+    )
+    wpos_ok = F.when(F.col("wpos") < F.lit(1 << 20), F.col("wpos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("substring_dedup pack overflow: doc="),
+                F.col("doc").cast("string"),
+                F.lit(" wpos="), F.col("wpos").cast("string"),
+                F.lit(" (bound: window position < 2^20)"),
+            )
+        ).cast("int")
+    )
+    pack = (
+        (
+            F.col("doc").cast("decimal(20,0)")
+            + F.lit(str(1 << 63)).cast("decimal(20,0)")
+        ) * F.lit(1 << 20).cast("decimal(8,0)")
+        + wpos_ok.cast("decimal(7,0)")
+    ).cast("decimal(38,0)")
+    keyed = wins.select(
+        "doc", "wpos",
+        F.unhex(F.md5(F.col("gram").cast("binary"))).alias("key"),
+        pack.alias("_pk"),
+    )
+    verdicts = keyed.groupBy("key").agg(
+        F.min("_pk").alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dup_occ = (
+        keyed.join(verdicts.hint("shuffle_hash"), "key")
+        .filter((F.col("_n") > 1) & (F.col("_pk") != F.col("_first")))
+        .select("doc", "wpos")
+    )
+    covered = dup_occ.select(
+        "doc",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = toks.join(covered.hint("shuffle_hash"), ["doc", "pos"], "left_anti")
+    agg = kept.groupBy("doc").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(txt, " ")).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -805,6 +805,89 @@ FROM m GROUP BY doc_id
 """
 
 
+def q_dedup_substring(spark, sf):
+    """Substring-level exact dedup (operators/dedupe.py
+    substring_dedup — the Lee et al. 2022 ExactSubstr stage at word
+    granularity, one layer below CCNet line dedup): every 3rd
+    document gets a fixed 12-word disclaimer spliced onto its tail
+    and every 7th a 10-word notice on its head (same dressing both
+    engines — the parquet corpus's own 6-grams are md5-unique by
+    construction, so the planted spans are what give the operator
+    real work). Any 6-token window occurring more than once
+    corpus-wide is a duplicated span; tokens covered only by
+    non-canonical occurrences (canonical = globally first by
+    (doc_id, position)) are dropped and the documents reassembled.
+    The oracle recomputes the whole pipeline relationally in DuckDB
+    (window explode, per-gram count + first-occurrence row_number,
+    position-coverage explode, anti-join, ordered string_agg)."""
+    docs = _t(spark, sf, "documents")
+    dressed = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_SUBSTR_NOTICE + " "))
+            .otherwise(F.lit("")),
+            F.coalesce("text", F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _SUBSTR_DISCLAIMER))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedupe.substring_dedup(dressed, k=6)
+
+
+_SUBSTR_DISCLAIMER = ("this website uses cookies to improve your "
+                      "experience and analyze our traffic patterns")
+_SUBSTR_NOTICE = ("all rights reserved unauthorized reproduction is "
+                  "strictly prohibited by law")
+
+SQL_DEDUP_SUBSTRING = r"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0
+               THEN '__NOTICE__ ' ELSE '' END)
+         || coalesce(text, '')
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ' __DISCLAIMER__' ELSE '' END) AS t
+  FROM documents
+), ws AS (
+  SELECT doc_id, string_split(t, ' ') AS toks, t FROM d
+), wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS wpos,
+         array_to_string(toks[u.i + 1 : u.i + 6], ' ') AS gram
+  FROM ws CROSS JOIN unnest(range(0, greatest(len(toks) - 5, 0))) AS u(i)
+), m AS (
+  SELECT doc_id, wpos,
+         count(*) OVER (PARTITION BY gram) AS n,
+         row_number() OVER (PARTITION BY gram
+                            ORDER BY doc_id, wpos) AS rn
+  FROM wins
+), cov AS (
+  SELECT DISTINCT doc_id, wpos + u.j AS pos
+  FROM m CROSS JOIN unnest(range(0, 6)) AS u(j)
+  WHERE n > 1 AND rn > 1
+), tk AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i + 1] AS tok
+  FROM ws CROSS JOIN unnest(range(0, len(toks))) AS u(i)
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tk ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.t, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+SQL_DEDUP_SUBSTRING = (
+    SQL_DEDUP_SUBSTRING
+    .replace("__NOTICE__", _SUBSTR_NOTICE)
+    .replace("__DISCLAIMER__", _SUBSTR_DISCLAIMER)
+)
+
+
 def q_decontaminate(spark, sf):
     """Eval-set decontamination (operators/decontam.py): every 25th
     document plays the benchmark/eval set; the report lists each
@@ -1246,6 +1329,34 @@ def _sql_lang_id_multilingual() -> str:
 SELECT CAST(g.doc_id AS BIGINT) AS doc_id, e.expected_lang, g.lang_guess, g.lang_score
 FROM ({body}) g
 JOIN (VALUES {exp_rows}) AS e(doc_id, expected_lang) ON g.doc_id = e.doc_id
+"""
+
+
+def q_lang_suite(spark, sf):
+    """text_lang_id + lang_id_multilingual consolidated (round 6, the
+    round-5 suite pattern: kind column + common scalar columns) to
+    hold the registry inside the driver's 50-query window while
+    adding dedup_substring; both member checks remain value-exact —
+    the documents-corpus rows and the planted-label multilingual
+    rows are recomputed in full."""
+    a = textstats.lang_id(_t(spark, sf, "documents")).select(
+        F.lit("docs").alias("kind"), "doc_id",
+        F.lit("").alias("expected_lang"), "lang_guess", "lang_score",
+    )
+    b = q_lang_id_multilingual(spark, sf).select(
+        F.lit("planted").alias("kind"), "doc_id",
+        "expected_lang", "lang_guess", "lang_score",
+    )
+    return a.unionByName(b)
+
+
+def _sql_lang_suite() -> str:
+    return f"""
+SELECT 'docs' AS kind, doc_id, '' AS expected_lang, lang_guess, lang_score
+FROM ({_sql_text_lang()})
+UNION ALL
+SELECT 'planted' AS kind, doc_id, expected_lang, lang_guess, lang_score
+FROM ({_sql_lang_id_multilingual()})
 """
 
 
@@ -2011,6 +2122,7 @@ QUERIES = {
     "link_rank": (q_link_rank, _sql_linkrank()),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_paragraph": (q_dedup_paragraph, SQL_DEDUP_PARAGRAPH),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "host_template_strip": (q_host_template_strip, SQL_HOST_TEMPLATE_STRIP),
     "extract_main_content": (q_extract_main_content, SQL_EXTRACT_MAIN_CONTENT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -2024,8 +2136,9 @@ QUERIES = {
     "emb_near_dup": (q_emb_near_dup, SQL_EMB_NEAR_DUP),
     "emb_quantize_int8": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_lang_id": (q_text_lang_id, _sql_text_lang()),
-    "lang_id_multilingual": (q_lang_id_multilingual, _sql_lang_id_multilingual()),
+    # round 6: text_lang_id + lang_id_multilingual consolidated (both
+    # checks intact, value-exact) to make window room for dedup_substring
+    "lang_suite": (q_lang_suite, _sql_lang_suite()),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_tfidf_topk": (q_text_tfidf_topk, SQL_TEXT_TFIDF),
     "text_pii_scrub": (q_text_pii_scrub, SQL_TEXT_PII),

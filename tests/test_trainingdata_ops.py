@@ -711,3 +711,27 @@ def test_free_local_checkpoint_releases_wrapped_blocks(spark):
     after = [i for i in jsc.getRDDStorageInfo() if i.numCachedPartitions() > 0]
     assert len(after) < len([i for i in before if i.numCachedPartitions() > 0]), \
         "free must release the raw checkpoint's blocks"
+
+
+def test_substring_dedup_canonical_copy_survives(spark):
+    """Lee-et-al ExactSubstr semantics at word granularity: a k-gram
+    repeated anywhere keeps exactly its globally-first occurrence
+    ((doc, pos) order); later occurrences' tokens are removed, other
+    tokens untouched; a doc that is entirely repeated spans empties."""
+    from go_scrapper_spark.operators.dedupe import substring_dedup
+
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta unique one tail"),
+        (2, "start words alpha beta gamma delta more stuff"),
+        (3, "totally different text with no repeats at all"),
+        (4, "alpha beta gamma delta alpha beta gamma delta"),
+        (5, None),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(docs, k=4).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta unique one tail"
+    assert out[2]["clean_text"] == "start words more stuff"
+    assert out[3]["n_kept"] == out[3]["n_tokens"] == 8
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["clean_text"] == ""  # null text degrades to empty
+    # determinism: the canonical copy is (doc,pos)-min, so doc 1 wins
+    assert out[1]["n_kept"] == 7 and out[2]["n_kept"] == 4
