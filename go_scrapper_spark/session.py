@@ -64,9 +64,11 @@ def get_spark(
         # embeds large expression trees the default (~2^31) cap lets
         # that rendering burn tens of driver-seconds per action —
         # jstack: TreeNode.generateTreeString + per-node regex
-        # redaction. 64k keeps explain() useful and bounds the cost.
+        # redaction. 256k keeps explain() useful, renders the crawl's
+        # ~170KB wave plans without a WARN per action, and still
+        # bounds the pathological multi-MB cases.
         .config("spark.sql.maxPlanStringLength",
-                os.environ.get("SPARK_MAX_PLAN_STRING", "65536"))
+                os.environ.get("SPARK_MAX_PLAN_STRING", "262144"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
