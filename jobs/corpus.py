@@ -107,11 +107,19 @@ def warc_front_end(files_df, host_template_den: int = 0):
 
 def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
                  eval_df=None, decontam_n: int = 8,
-                 decontam_broadcast: bool = True):
+                 decontam_broadcast: bool = True,
+                 substring_k: int = 0):
     """Returns (result_df, stage_counts). Pure plan construction plus
     the stage-count actions; ``counts["stage_secs"]`` carries the wall
     seconds of each stage's materializing action (the count), so the
-    CLI summary and bench double as a stage profile."""
+    CLI summary and bench double as a stage profile.
+
+    ``substring_k`` > 0 adds the Lee-et-al ExactSubstr stage
+    (dedupe.substring_dedup) AFTER document-level dedup and
+    decontamination — the RefinedWeb ordering: removing spans first
+    would change content hashes under the exact/near-dup stages.
+    Documents whose text empties (every token inside some repeated
+    span) drop from the corpus."""
     import time
 
     from pyspark.sql import functions as F
@@ -202,6 +210,21 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
             broadcast_eval=decontam_broadcast))
         counts["after_decontam"] = survivors.count()
         secs["decontam"] = round(time.time() - t0, 2)
+        dedupe.free_local_checkpoint(pre)
+
+    if substring_k > 0:
+        t0 = time.time()
+        sd = dedupe.substring_dedup(survivors, k=substring_k)
+        pre = survivors
+        survivors = dedupe.local_checkpoint_no_stats(
+            survivors.drop("text").join(
+                sd.filter(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("clean_text").alias("text")),
+                "doc_id",
+            )
+        )
+        counts["after_substring_dedup"] = survivors.count()
+        secs["substring_dedup"] = round(time.time() - t0, 2)
         dedupe.free_local_checkpoint(pre)
 
     lang = textstats.lang_id(survivors).select("doc_id", "lang_guess")
@@ -337,6 +360,11 @@ def main() -> None:
                     help="parquet of (eval_id, text) benchmark docs: drop "
                          "training docs sharing an n-gram with any of them")
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--substring-k", type=int, default=0,
+                    help="k>0 adds substring-level exact dedup (Lee et "
+                         "al. ExactSubstr at word granularity) after "
+                         "doc-level dedup: k-token spans repeated "
+                         "anywhere keep only their first occurrence")
     ap.add_argument("--host-template-den", type=int, default=0,
                     help="with --warc: drop paragraphs appearing in "
                          ">= 1/DEN of a host's documents (0 = off)")
@@ -389,6 +417,7 @@ def main() -> None:
         result, counts = build_corpus(
             spark, docs, args.min_tokens, args.near_dup_matches,
             eval_df=eval_df, decontam_n=args.decontam_ngram,
+            substring_k=args.substring_k,
             decontam_broadcast=not args.decontam_shuffle,
         )
     n_final = result.count()
