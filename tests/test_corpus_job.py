@@ -172,3 +172,32 @@ def test_update_corpus_with_stored_sigs_matches_raw(spark):
                            near_dup_matches=6, existing_sigs=sigs)
     assert ({r["doc_id"] for r in raw.select("doc_id").collect()}
             == {r["doc_id"] for r in via.select("doc_id").collect()})
+
+
+def test_substring_k_stage_strips_planted_spans(spark):
+    """build_corpus(substring_k=K): a K-token span planted across docs
+    keeps exactly one copy (the (doc_id, pos)-first), the stage count
+    lands in counts/stage_secs, and a doc that is entirely the span
+    drops from the corpus."""
+    # every doc needs >= 20 tokens and >= 2% function words to clear
+    # the quality keep-band; the span carries its own stopwords so the
+    # span-only doc reaches the substring stage and empties THERE
+    span = "the quick brown fox and seven"
+    docs = spark.createDataFrame([
+        (1, "this is a unique opening with plenty of words to pass "
+            "the gate " + span + " and some more unique trailing words"),
+        (2, "another document that has its own very different words "
+            "in it " + span + " with extra trailing content for the gate"),
+        (3, " ".join([span] * 4)),
+        (4, "an independent document with enough tokens and function "
+            "words to pass the quality gate easily on its own good merits"),
+    ], "doc_id long, text string")
+    result, counts = build_corpus(spark, docs, min_tokens=5,
+                                  near_dup_matches=6, substring_k=6)
+    rows = {r["doc_id"]: r["text"] for r in result.collect()}
+    assert counts["after_substring_dedup"] < counts["after_near_dup"]
+    assert "substring_dedup" in counts["stage_secs"]
+    assert span in rows[1]            # canonical copy survives in doc 1
+    assert span not in rows[2] and "very different words" in rows[2]
+    assert 3 not in rows              # span-only doc empties and drops
+    assert rows[4].startswith("an independent")
