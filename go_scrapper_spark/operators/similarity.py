@@ -185,21 +185,54 @@ def lsh_plane_weight(table: int, plane: int, j) -> F.Column | int:
     return (s * F.lit(2654435761)) % 999983 % 7 - 3
 
 
+def _bucket_from_quantized(qv_col, n_planes: int = 4, dim: int = 64,
+                           table: int = 0) -> F.Column:
+    """Bucket id from sign bits over an ALREADY-quantized vector
+    column. The plane weights are compile-time constants (every
+    ``lsh_plane_weight`` argument is a Python int here), so they are
+    baked in as a literal array per plane: the round-6 spelling
+    re-evaluated the multiply-mod weight chain inside the zip_with
+    lambda for every element × plane × table — ~400M interpreted
+    expression evals over the sf1.0 embeddings table, 90%+ of the
+    sim_lsh_neighbors wall clock (guide §1.2 step 2: per-task work).
+    Values are identical by construction (same weight function, now
+    evaluated at plan-build time)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        weights = F.array(*[
+            F.lit(lsh_plane_weight(table, p, j)).cast("long")
+            for j in range(dim)
+        ])
+        proj = F.aggregate(
+            F.zip_with(qv_col, weights, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
 def lsh_projection_bucket(vec_col, n_planes: int = 4, dim: int = 64,
                           table: int = 0) -> F.Column:
     """Bucket id from sign bits of ``n_planes`` fixed integer-weight
     hyperplanes over the quantized vector (``table`` seeds an
     independent plane family per hash table). Deterministic,
-    integer-exact, oracle-reproducible."""
+    integer-exact, oracle-reproducible.
+
+    This general-purpose wrapper quantizes inline, so it uses ONE
+    zip_with against a literal weight array per plane (the inline
+    quantize expression appears once per plane, not once per element
+    as the flat spelling would duplicate it). Hot paths that already
+    hold a quantized column use ``_bucket_from_quantized``."""
     qv = quantize(vec_col)
     bucket = F.lit(0)
     for p in range(n_planes):
+        weights = F.array(*[
+            F.lit(lsh_plane_weight(table, p, j)).cast("long")
+            for j in range(dim)
+        ])
         proj = F.aggregate(
-            F.zip_with(
-                qv,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, j: x * lsh_plane_weight(table, p, j),
-            ),
+            F.zip_with(qv, weights, lambda x, w: x * w),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
@@ -311,14 +344,21 @@ def lsh_bucketed_neighbors(emb: DataFrame, k: int = 3, n_queries: int = 5,
     a few percent candidate fraction — bench.py measures BOTH corpora
     (lsh_recall_structured). IVF (ivf_topk) is the top-k search path
     and carries its own ≥ 0.9 recall gate."""
+    # quantize ONCE per row into a concrete column, then derive every
+    # table's bucket from it — the previous spelling embedded the
+    # quantize transform inside each of the n_tables × n_planes
+    # projection expressions (32 redundant per-row transforms at the
+    # defaults; guide §2.3 "project before the exchange" applied to
+    # expression trees)
+    qemb = emb.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    )
     buckets = F.array(*[
-        lsh_projection_bucket(F.col(vec_col), n_planes, dim, table=t)
+        _bucket_from_quantized(F.col("v"), n_planes, dim, table=t)
         for t in range(n_tables)
     ])
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        quantize(F.col(vec_col)).alias("v"),
-        F.posexplode(buckets).alias("table", "bucket"),
+    v = qemb.select(
+        "id", "v", F.posexplode(buckets).alias("table", "bucket"),
     )
     q = v.filter(F.col("id") < n_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), "table", "bucket"
@@ -345,7 +385,8 @@ def lsh_bucketed_neighbors(emb: DataFrame, k: int = 3, n_queries: int = 5,
         .groupBy("query_id", "neighbor_id")
         # a pair co-bucketed in several tables is ONE candidate; max is
         # a no-op on the (deterministic) dot but folds the dedup and
-        # the score into a single aggregate
+        # the score into a single aggregate; flat codegen'd dot — both
+        # sides are bound columns of known dimension
         .agg(F.max(dot_int(F.col("qv"), F.col("cv"))).alias("dot"))
     )
     w = Window.partitionBy("query_id").orderBy(
