@@ -28,7 +28,7 @@ _VOID_TAGS = {
 class Node:
     __slots__ = (
         "tag", "attrs", "children", "parent",
-        "_text", "_desc", "_by_tag", "_classes",
+        "_text", "_desc", "_by_tag", "_by_class", "_classes",
     )
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Node | None"):
@@ -39,6 +39,7 @@ class Node:
         self._text = None
         self._desc = None
         self._by_tag = None
+        self._by_class = None
         self._classes = None
 
     @property
@@ -90,6 +91,19 @@ class Node:
             self._by_tag = idx
         return self._by_tag.get(tag, [])
 
+    def desc_by_class(self, cls: str) -> list["Node"]:
+        """Descendants carrying one class, document order — the
+        candidate set for class-bearing selector parts (built once per
+        queried node, like the tag index; a `.user-display-name` part
+        then scans a handful of nodes instead of the whole subtree)."""
+        if self._by_class is None:
+            idx: dict[str, list[Node]] = {}
+            for n in self.iter_desc():
+                for c in n.classes:
+                    idx.setdefault(c, []).append(n)
+            self._by_class = idx
+        return self._by_class.get(cls, [])
+
 
 class _Builder(HTMLParser):
     def __init__(self):
@@ -125,10 +139,127 @@ class _Builder(HTMLParser):
         self.cur.children.append(f"&#{name};")
 
 
-def parse_html(html: str) -> Node:
+def parse_html_stdlib(html: str) -> Node:
+    """Reference tree builder on stdlib html.parser — the behavioral
+    spec for ``parse_html`` below (kept for the differential test and
+    as a fallback for markup the fast tokenizer declines)."""
     b = _Builder()
     b.feed(html)
     return b.root
+
+
+# Fast tokenizer (round 7, guide §4.2 "per-task work"): stdlib
+# HTMLParser spent ~40% of the extraction plane's CPU in
+# goahead/parse_starttag/updatepos bookkeeping this engine never uses
+# (line numbers, charref events, tolerant re-scanning). The regex
+# tokenizer below produces the IDENTICAL tree for the markup the
+# engine parses — tag/attr names lowercased, attr values
+# entity-unescaped, text kept raw (entity refs stay literal, exactly
+# like the _Builder's handle_entityref), <script>/<style> content as
+# CDATA, comments/doctype/PIs skipped, self-closing and void tags leaf
+# — verified by a differential test against parse_html_stdlib and the
+# extraction goldens. Start tags whose attributes the regex cannot
+# carve (quoted '>' etc.) make the whole document fall back to the
+# stdlib builder, so divergence is impossible on exotic markup.
+_FAST_START_RE = re.compile(
+    r"<([a-zA-Z][^\s/>]*)"
+    r"((?:\s+[^\s/>=]+(?:=(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_ATTR_RE = re.compile(
+    r"([^\s/>=]+)(?:=(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+_FAST_END_SCRIPT = re.compile(r"(?i)</script(?=[\s>/]|$)")
+_FAST_END_STYLE = re.compile(r"(?i)</style(?=[\s>/]|$)")
+
+
+def _fast_attrs(s: str) -> dict[str, str | None]:
+    if not s:
+        return {}
+    import html as _html
+
+    attrs: dict[str, str | None] = {}
+    for m in _FAST_ATTR_RE.finditer(s):
+        k = m.group(1).lower()
+        v = m.group(2)
+        if v is None:
+            attrs[k] = None  # valueless attribute, mirroring HTMLParser
+            continue
+        if v and v[0] in "\"'" and v[-1] == v[0] and len(v) >= 2:
+            v = v[1:-1]
+        attrs[k] = _html.unescape(v) if "&" in v else v
+    return attrs
+
+
+def parse_html(html: str) -> Node:
+    root = Node("#root", {}, None)
+    cur = root
+    n = len(html)
+    i = 0
+    find = html.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            if i < n:
+                cur.children.append(html[i:])
+            break
+        if lt > i:
+            cur.children.append(html[i:lt])
+        c = html[lt + 1] if lt + 1 < n else ""
+        if c == "/":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                break
+            tag = html[lt + 2:gt].strip().lower()
+            node = cur
+            while node is not None and node.tag != tag:
+                node = node.parent
+            if node is not None and node.parent is not None:
+                cur = node.parent
+            i = gt + 1
+        elif c == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = (end + 3) if end >= 0 else n
+            else:
+                gt = find(">", lt + 2)
+                i = (gt + 1) if gt >= 0 else n
+        elif c == "?":
+            gt = find(">", lt + 2)
+            i = (gt + 1) if gt >= 0 else n
+        else:
+            m = _FAST_START_RE.match(html, lt)
+            if m is None:
+                if c and (c.isalpha()):
+                    # start-tag-shaped but unparseable (quoted '>' in an
+                    # attribute, unterminated tag): use the spec builder
+                    return parse_html_stdlib(html)
+                # stray '<' is text, like HTMLParser's tolerant path
+                cur.children.append("<")
+                i = lt + 1
+                continue
+            tag = m.group(1).lower()
+            node = Node(tag, _fast_attrs(m.group(2)), cur)
+            cur.children.append(node)
+            i = m.end()
+            if m.group(3) == "/" or tag in _VOID_TAGS:
+                pass  # leaf
+            elif tag == "script" or tag == "style":
+                # CDATA content: raw text until the matching close tag
+                endre = _FAST_END_SCRIPT if tag == "script" else _FAST_END_STYLE
+                em = endre.search(html, i)
+                gt = find(">", em.start()) if em is not None else -1
+                if em is None or gt < 0:
+                    # no COMPLETE close tag: stdlib's CDATA scanner
+                    # buffers (and at EOF drops) the trailing content
+                    i = n
+                else:
+                    if em.start() > i:
+                        node.children.append(html[i:em.start()])
+                    i = gt + 1
+            else:
+                cur = node
+    return root
 
 
 # --- selector engine --------------------------------------------------------
@@ -142,7 +273,8 @@ _SIMPLE_RE = re.compile(
 
 
 class _Simple:
-    __slots__ = ("tag", "classes", "attr_k", "attr_v", "contains")
+    __slots__ = ("tag", "classes", "attr_k", "attr_v", "contains",
+                 "first_class")
 
     def __init__(self, token: str):
         m = _SIMPLE_RE.fullmatch(token)
@@ -157,6 +289,9 @@ class _Simple:
         self.contains = None
         if m.group("contains"):
             self.contains = m.group("contains")[len(":contains("):-1]
+        # candidate-index pick for select(): any class is usually more
+        # selective than a tag (pages carry many divs, few of a class)
+        self.first_class = next(iter(self.classes)) if self.classes else None
 
     def match(self, n: Node) -> bool:
         if self.tag and n.tag != self.tag:
@@ -192,7 +327,7 @@ def select(root: Node, selector: str) -> list[Node]:
     """All descendant nodes of ``root`` matching ``selector``, doc order."""
     parts = _compile(selector)
     current = [root]
-    for comb, simple in parts:
+    for pi, (comb, simple) in enumerate(parts):
         nxt: list[Node] = []
         # one base yields unique nodes already — the dedup set only
         # matters when overlapping subtrees can emit a node twice
@@ -200,6 +335,14 @@ def select(root: Node, selector: str) -> list[Node]:
         for base in current:
             if comb == "child":
                 it = (c for c in base.children if isinstance(c, Node))
+            elif simple.first_class is not None and (
+                pi == 0 or base._by_class is not None
+            ):
+                # class index only where it amortizes: the first part's
+                # base is the caller's root, queried by every selector
+                # of the extraction pass; later parts see tiny one-off
+                # bases where building an index costs more than a scan
+                it = base.desc_by_class(simple.first_class)
             elif simple.tag:
                 it = base.desc_by_tag(simple.tag)
             else:

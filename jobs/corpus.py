@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def warc_front_end(files_df, host_template_den: int = 0):
@@ -108,11 +109,16 @@ def warc_front_end(files_df, host_template_den: int = 0):
 def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
                  eval_df=None, decontam_n: int = 8,
                  decontam_broadcast: bool = True,
-                 substring_k: int = 0):
+                 substring_k: int = 0, verbose_counts: bool = False):
     """Returns (result_df, stage_counts). Pure plan construction plus
     the stage-count actions; ``counts["stage_secs"]`` carries the wall
-    seconds of each stage's materializing action (the count), so the
-    CLI summary and bench double as a stage profile.
+    seconds of each stage's materializing action (the eager stats-free
+    checkpoint), so the CLI summary and bench double as a stage
+    profile. ``verbose_counts`` (round 7, VERDICT r6 item 6) gates the
+    per-stage ``after_*`` row counts: each is a redundant re-scan of an
+    already-materialized checkpoint — one extra action per stage in
+    the default batch path — kept available for the CLI summary and
+    the pipeline tests.
 
     ``substring_k`` > 0 adds the Lee-et-al ExactSubstr stage
     (dedupe.substring_dedup) AFTER document-level dedup and
@@ -145,7 +151,8 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     # count it needs anyway doubles as the materializer.
     kept = dedupe.local_checkpoint_no_stats(
         docs.join(quality.select("doc_id"), "doc_id", "left_semi"))
-    counts["after_quality"] = kept.count()
+    if verbose_counts:
+        counts["after_quality"] = kept.count()
     secs["quality"] = round(time.time() - t0, 2)
     docs.unpersist()
     t0 = time.time()
@@ -156,7 +163,8 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     )
     deduped = dedupe.local_checkpoint_no_stats(
         kept.join(canon, "doc_id", "left_semi"))
-    counts["after_exact_dedup"] = deduped.count()
+    if verbose_counts:
+        counts["after_exact_dedup"] = deduped.count()
     secs["exact_dedup"] = round(time.time() - t0, 2)
     dedupe.free_local_checkpoint(kept)
     t0 = time.time()
@@ -192,7 +200,8 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
     survivors = dedupe.local_checkpoint_no_stats(deduped.join(
         losers.hint("shuffle_hash"), "doc_id", "left_anti"
     ))
-    counts["after_near_dup"] = survivors.count()
+    if verbose_counts:
+        counts["after_near_dup"] = survivors.count()
     edges.unpersist()
     secs["near_dup"] = round(time.time() - t0, 2)
     dedupe.free_local_checkpoint(deduped)
@@ -208,7 +217,8 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
         survivors = dedupe.local_checkpoint_no_stats(decontaminate(
             survivors, eval_df, n=decontam_n,
             broadcast_eval=decontam_broadcast))
-        counts["after_decontam"] = survivors.count()
+        if verbose_counts:
+            counts["after_decontam"] = survivors.count()
         secs["decontam"] = round(time.time() - t0, 2)
         dedupe.free_local_checkpoint(pre)
 
@@ -223,7 +233,8 @@ def build_corpus(spark, docs, min_tokens: int = 20, near_dup_matches: int = 6,
                 "doc_id",
             )
         )
-        counts["after_substring_dedup"] = survivors.count()
+        if verbose_counts:
+            counts["after_substring_dedup"] = survivors.count()
         secs["substring_dedup"] = round(time.time() - t0, 2)
         dedupe.free_local_checkpoint(pre)
 
@@ -364,7 +375,9 @@ def main() -> None:
                     help="k>0 adds substring-level exact dedup (Lee et "
                          "al. ExactSubstr at word granularity) after "
                          "doc-level dedup: k-token spans repeated "
-                         "anywhere keep only their first occurrence")
+                         "anywhere keep only their first occurrence. "
+                         "Batch mode only — ignored (with a warning) "
+                         "under --update-existing")
     ap.add_argument("--host-template-den", type=int, default=0,
                     help="with --warc: drop paragraphs appearing in "
                          ">= 1/DEN of a host's documents (0 = off)")
@@ -404,6 +417,15 @@ def main() -> None:
     eval_df = (spark.read.parquet(args.decontam_eval)
                if args.decontam_eval else None)
     if args.update_existing:
+        if args.substring_k > 0:
+            # ADVICE r6: update_corpus has no substring stage — say so
+            # loudly instead of silently skipping span dedup
+            print(
+                "WARNING: --substring-k is not implemented in "
+                "incremental (--update-existing) mode; the delta is "
+                "written WITHOUT substring-level dedup",
+                file=sys.stderr,
+            )
         existing = spark.read.parquet(args.update_existing)
         result, counts = update_corpus(
             spark, existing, docs, args.min_tokens, args.near_dup_matches,
@@ -419,6 +441,7 @@ def main() -> None:
             eval_df=eval_df, decontam_n=args.decontam_ngram,
             substring_k=args.substring_k,
             decontam_broadcast=not args.decontam_shuffle,
+            verbose_counts=args.verbose_counts,
         )
     n_final = result.count()
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(args.out)

@@ -18,7 +18,8 @@ DOCS = "/root/testdata/sf0.001/documents.parquet"
 @pytest.fixture(scope="module")
 def built(spark, tmp_path_factory):
     docs = spark.read.parquet(DOCS)
-    result, counts = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6)
+    result, counts = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6,
+                                  verbose_counts=True)
     out = str(tmp_path_factory.mktemp("corpus") / "out")
     result.write.mode("overwrite").partitionBy("lang_guess").parquet(out)
     return spark, counts, out
@@ -54,9 +55,11 @@ def test_decontam_stage_drops_eval_overlap(spark):
     docs = spark.read.parquet(DOCS)
     evals = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_id"), "text")
-    base, c0 = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6)
+    base, c0 = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6,
+                            verbose_counts=True)
     clean, c1 = build_corpus(spark, docs, min_tokens=5, near_dup_matches=6,
-                             eval_df=evals, decontam_n=5)
+                             eval_df=evals, decontam_n=5,
+                             verbose_counts=True)
     assert "after_decontam" in c1
     assert c1["after_decontam"] < c0["after_near_dup"]
     # every eval doc that survived the upstream stages must be gone
@@ -192,7 +195,7 @@ def test_substring_k_stage_strips_planted_spans(spark):
         (4, "an independent document with enough tokens and function "
             "words to pass the quality gate easily on its own good merits"),
     ], "doc_id long, text string")
-    result, counts = build_corpus(spark, docs, min_tokens=5,
+    result, counts = build_corpus(spark, docs, min_tokens=5, verbose_counts=True,
                                   near_dup_matches=6, substring_k=6)
     rows = {r["doc_id"]: r["text"] for r in result.collect()}
     assert counts["after_substring_dedup"] < counts["after_near_dup"]

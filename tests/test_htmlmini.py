@@ -82,3 +82,50 @@ def test_child_text_concatenates_all_matches():
         '<p>skip</p><script type="x">{"b":2}</script></div>'
     )
     assert child_text(dom, 'script[type="x"]') == '{"a":1}{"b":2}'
+
+
+def test_fast_parser_matches_stdlib_builder():
+    """parse_html (fast tokenizer) must produce the identical tree to
+    parse_html_stdlib (the behavioral spec) on representative and
+    adversarial markup."""
+    from go_scrapper_spark.functions.htmlmini import parse_html_stdlib
+
+    docs = [
+        DOC,
+        "<p>A &amp;amp; B</p>",
+        '<div><script type="x">{"a":1,"lt":"<p>not a tag</p>"}</script>'
+        "<p>skip</p><script type=\"x\">{\"b\":2}</script></div>",
+        "<ul><li>one<li>two</ul>",                       # unclosed li
+        "<img src=\"x.png\"><br/><input disabled>",      # void + valueless
+        "<!-- c --><!doctype html><?pi ?><b>t</b>",
+        "<a href=\"/u?a=1&amp;b=2\">x</a>",              # entity in attr
+        "<A HREF=\"X\"><B>y</B></A>",                    # case folding
+        "<style>p > .x { color: red }</style><p>q</p>",  # CDATA style
+        "<div class=\"a b\"><span class=\"a\">s</span></div>",
+        "text only, no tags",
+        "<p>unterminated",
+        "a < b but <em>fine</em>",                       # stray <
+        "<script>var x = 1;</script",                    # truncated close
+        "<td nowrap>cell</td>",
+    ]
+
+    def dump(n):
+        # adjacent text chunks merge: stdlib emits one data event per
+        # entity boundary while the fast path appends raw slices — the
+        # concatenation (what text() reads) is the semantic content
+        if isinstance(n, str):
+            return ("T", n)
+        kids, buf = [], []
+        for c in n.children:
+            if isinstance(c, str):
+                buf.append(c)
+            else:
+                if buf:
+                    kids.append(("T", "".join(buf))); buf = []
+                kids.append(dump(c))
+        if buf:
+            kids.append(("T", "".join(buf)))
+        return ("N", n.tag, sorted(n.attrs.items(), key=str), kids)
+
+    for doc in docs:
+        assert dump(parse_html(doc)) == dump(parse_html_stdlib(doc)), doc
