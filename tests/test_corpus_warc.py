@@ -76,7 +76,7 @@ def test_front_end_doc_ids_deterministic(spark, warc_files):
 def test_warc_to_corpus_to_wet_roundtrip(spark, warc_files, tmp_path):
     docs = warc_front_end(warc_files)
     result, counts = build_corpus(spark, docs, min_tokens=5,
-                                  near_dup_matches=6)
+                                  near_dup_matches=6, verbose_counts=True)
     final = result.persist()
     assert counts["after_near_dup"] > 0
     wet = w.pages_to_wet(
