@@ -75,8 +75,10 @@ def main() -> None:
         samples = []
         for _ in range(args.samples):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
-            df = fn(spark, args.sf)
+            # time fn() + action, matching bench.py's frozen methodology
+            # (iterative operators run eager checkpoints inside fn())
             t0 = time.time()
+            df = fn(spark, args.sf)
             if args.mode == "noop":
                 df.write.format("noop").mode("overwrite").save()
             else:

@@ -76,54 +76,70 @@ def extract_main_content(pages: DataFrame, id_col: str = "url",
     original page order ('' when nothing qualifies); ``n_blocks``
     counts blocks with any visible text; ``total_chars``/``kept_chars``
     are the visible-text character masses before/after the filter
-    (the corpus-level yield metric every pipeline reports)."""
+    (the corpus-level yield metric every pipeline reports). Pages with
+    no visible text at all produce no output row (unchanged — the
+    round-6 groupBy shape implied the same).
+
+    Every block of a page comes from that page's ONE html row, so the
+    whole stage is per-row-local. Round 7 rewrote the posexplode +
+    groupBy(page) reassembly — which shuffled every page's entire
+    visible text — as higher-order array expressions in a single
+    projection chain: ZERO exchanges. The scored-block array and the
+    kept subset are materialized as real intermediate columns (one
+    evaluation per row; CollapseProject does not re-inline non-cheap
+    expressions used more than once), and block order is the array
+    order — no idx bookkeeping, no array_sort."""
     html = F.col(html_col).cast("string")
     cleaned = F.regexp_replace(html, F.lit(DROP_SUBTREES_RE), F.lit(" "))
 
-    blocks = pages.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(cleaned, BLOCK_SPLIT_RE)).alias("idx", "block"),
-    )
-
-    text = _visible_text(F.col("block"))
-    link_chars = F.aggregate(
-        F.transform(
-            F.regexp_extract_all(F.col("block"), F.lit(ANCHOR_TEXT_RE), F.lit(1)),
-            lambda a: F.length(_visible_text(a)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = blocks.select(
-        "_id", "idx", text.alias("text"), link_chars.alias("link_chars")
-    ).filter(F.col("text") != "")
-
-    tl = F.length("text").cast("long")
-    good = (tl >= F.lit(min_text_len)) & (
-        F.col("link_chars") * 100 <= F.lit(max_link_density_pct) * tl
-    )
-    tagged = scored.select("_id", "idx", "text", tl.alias("tl"),
-                           good.alias("good"))
-    return (
-        tagged.groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum(F.col("good").cast("long")).alias("n_good"),
-            F.sum("tl").alias("total_chars"),
-            F.sum(F.when(F.col("good"), F.col("tl")).otherwise(F.lit(0)))
-            .alias("kept_chars"),
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("good"), F.struct("idx", "text"))
-                        )
-                    ),
-                    lambda s: s.text,
-                ),
-            ).alias("main_text"),
+    def link_chars(b) -> F.Column:
+        return F.aggregate(
+            F.transform(
+                F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+                lambda a: F.length(_visible_text(a)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
-        .select(F.col("_id").alias(id_col), "main_text", "n_blocks",
-                "n_good", "total_chars", "kept_chars")
+
+    scored_arr = F.filter(
+        F.transform(
+            F.split(cleaned, BLOCK_SPLIT_RE),
+            lambda b: F.struct(
+                _visible_text(b).alias("text"),
+                link_chars(b).alias("lc"),
+            ),
+        ),
+        lambda s: s["text"] != "",
+    )
+
+    def tl(s) -> F.Column:
+        return F.length(s["text"]).cast("long")
+
+    def good(s) -> F.Column:
+        return (tl(s) >= F.lit(min_text_len)) & (
+            s["lc"] * 100 <= F.lit(max_link_density_pct) * tl(s)
+        )
+
+    def char_sum(arr_col: str) -> F.Column:
+        return F.aggregate(
+            F.col(arr_col),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + tl(s),
+        )
+
+    return (
+        pages.select(F.col(id_col).alias("_id"), scored_arr.alias("_blocks"))
+        .filter(F.size("_blocks") > 0)
+        .withColumn("_kept", F.filter(F.col("_blocks"), good))
+        .select(
+            F.col("_id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["text"]), "\n"
+            ).alias("main_text"),
+            F.size("_blocks").cast("long").alias("n_blocks"),
+            F.size("_kept").cast("long").alias("n_good"),
+            char_sum("_blocks").alias("total_chars"),
+            char_sum("_kept").alias("kept_chars"),
+        )
     )

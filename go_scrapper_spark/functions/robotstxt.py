@@ -35,7 +35,7 @@ so the output is directly joinable by operators/politeness.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_CRAWL_DELAY_MS = 3000  # colly LimitRule Delay 3s (collyfunc.go:115-119)
@@ -90,76 +90,86 @@ def parse_robots_txt(
     default_delay_ms: int = DEFAULT_CRAWL_DELAY_MS,
     default_max_parallel: int = DEFAULT_MAX_PARALLEL,
 ) -> DataFrame:
-    """(host, body) → ROBOTS_SCHEMA-shaped policy rows."""
-    # one row per line, order preserved (pos drives the group window)
-    lines = robots_bodies.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
-    ).select(
-        "host", "pos",
-        F.trim(F.regexp_replace("raw", "#.*", "")).alias("line"),
-    ).filter(F.col("line") != "")
-    key = F.lower(F.trim(F.substring_index("line", ":", 1)))
-    val = F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
-    parsed = lines.filter(F.col("line").contains(":")).select(
-        "host", "pos",
-        key.alias("key"),
-        val.alias("val"),
-    )
+    """(host, body) → ROBOTS_SCHEMA-shaped policy rows.
 
-    w = Window.partitionBy("host").orderBy("pos")
-    is_ua = (F.col("key") == "user-agent").cast("int")
-    # a user-agent line starts a NEW group unless the previous parsed
-    # line was also a user-agent line (consecutive UA lines share one
-    # group, RFC 9309 §2.2.1)
-    starts_group = (
-        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)
-    ).cast("int")
-    grouped = parsed.withColumn("group_id", F.sum(starts_group).over(w))
+    Every line of a host's policy comes from that host's ONE body row,
+    so the whole parse — group assignment, star-group selection, rule
+    aggregation — is per-row-local. Round 7 rewrote it as higher-order
+    array expressions in a single projection: ZERO exchanges, where the
+    round-6 shape paid five (posexplode → host window for group ids →
+    star-group distinct → left_semi join → per-host agg → all-hosts
+    join). Semantics are unchanged (same RFC 9309 subset, fuzz-tested
+    against the pure-Python model); inputs keep the one-body-per-host
+    contract the engine and oracle already honor.
 
-    # groups whose agent set contains '*'
-    star_groups = (
-        grouped.filter((F.col("key") == "user-agent") & (F.col("val") == "*"))
-        .select("host", "group_id")
-        .distinct()
+    The group-id prefix scan is an ``aggregate`` fold appending to an
+    array accumulator — O(lines²) per host worst-case, irrelevant at
+    robots.txt sizes and embarrassingly parallel either way."""
+    # cleaned, ':'-bearing (key, val) lines in document order, spelled
+    # in SQL so the lambda variable binds once for both the
+    # substring_index key and the instr() val. A user-agent line starts
+    # a NEW group unless the previous parsed line was also user-agent
+    # (consecutive UA lines share one group, RFC 9309 §2.2.1); the gid
+    # fold below carries (gid, prev_was_ua) and appends each line's gid.
+    kv = F.expr(
+        "transform("
+        f"  filter(transform(split({body_col}, '\\n'),"
+        "          l -> trim(regexp_replace(l, '#.*', ''))),"
+        "         l -> l != '' AND contains(l, ':')),"
+        "  l -> struct("
+        "    lower(trim(substring_index(l, ':', 1))) AS key,"
+        "    trim(substring(l, instr(l, ':') + 1)) AS val))"
     )
-    star_rules = grouped.join(star_groups, ["host", "group_id"], "left_semi")
-
-    policies = star_rules.groupBy("host").agg(
-        F.sort_array(
-            F.collect_set(
-                F.when((F.col("key") == "allow") & (F.col("val") != ""), F.col("val"))
-            )
-        ).alias("allow_prefixes"),
-        F.sort_array(
-            F.collect_set(
-                F.when(
-                    (F.col("key") == "disallow") & (F.col("val") != ""), F.col("val")
-                )
-            )
-        ).alias("disallow_prefixes"),
-        F.coalesce(
-            F.round(
-                F.max(
-                    F.when(
-                        F.col("key") == "crawl-delay",
-                        # try_cast, not cast: under ANSI mode (Spark 4
-                        # default) a malformed value like "10s" in ONE
-                        # untrusted robots.txt would otherwise throw
-                        # CAST_INVALID_INPUT and abort the whole parse
-                        # job; NULL falls through to default_delay_ms.
-                        F.col("val").try_cast("double") * 1000,
-                    )
-                )
-            ).cast("long"),
-            F.lit(default_delay_ms).cast("long"),
-        ).alias("crawl_delay_ms"),
+    gids = F.expr(
+        "aggregate(_kv,"
+        "  struct(0 AS gid, false AS prev_ua,"
+        "         cast(array() as array<int>) AS gids),"
+        "  (acc, x) -> struct("
+        "    acc.gid + IF(x.key = 'user-agent' AND NOT acc.prev_ua, 1, 0)"
+        "      AS gid,"
+        "    x.key = 'user-agent' AS prev_ua,"
+        "    concat(acc.gids, array(acc.gid +"
+        "      IF(x.key = 'user-agent' AND NOT acc.prev_ua, 1, 0)))"
+        "      AS gids),"
+        "  acc -> acc.gids)"
     )
-    # hosts with no '*' group (or an unparseable body): permissive
-    # default — no applicable group means no restrictions (RFC 9309)
-    all_hosts = robots_bodies.select(F.col(host_col).alias("host")).distinct()
+    # rules = (key, val, gid); star_gids = groups whose agent set has '*'
+    rules = F.expr(
+        "zip_with(_kv, _gids, (x, g) ->"
+        " struct(x.key AS key, x.val AS val, g AS gid))"
+    )
+    star_rules = F.expr(
+        "filter(_rules, r -> array_contains("
+        "  transform(filter(_rules, s -> s.key = 'user-agent'"
+        "                              AND s.val = '*'), s -> s.gid),"
+        "  r.gid))"
+    )
+    prefix_of = (
+        "array_sort(array_distinct(transform("
+        "  filter(_star, r -> r.key = '{k}' AND r.val != ''),"
+        "  r -> r.val)))"
+    )
+    delay = (
+        "cast(round(array_max(transform("
+        "  filter(_star, r -> r.key = 'crawl-delay'),"
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a
+        # malformed value like "10s" in ONE untrusted robots.txt would
+        # otherwise throw CAST_INVALID_INPUT and abort the whole parse
+        # job; NULL is skipped by array_max and falls through to
+        # default_delay_ms.
+        "  r -> try_cast(r.val AS double) * 1000))) AS long)"
+    )
+    # each intermediate is materialized as a real column (one
+    # evaluation per row) instead of being re-inlined by projection
+    # collapse into every consumer
     return (
-        all_hosts.join(policies, "host", "left")
+        robots_bodies.select(
+            F.col(host_col).alias("host"), F.col(body_col).alias(body_col)
+        )
+        .withColumn("_kv", kv)
+        .withColumn("_gids", gids)
+        .withColumn("_rules", rules)
+        .withColumn("_star", star_rules)
         .select(
             "host",
             # NO synthetic Allow rules: when a star group has no Allow
@@ -171,14 +181,10 @@ def parse_robots_txt(
             # permissive default is already implied downstream:
             # apply_robots admits when no disallow prefix matches
             # (allow_len 0 >= disallow_len 0).
+            F.expr(prefix_of.format(k="allow")).alias("allow_prefixes"),
+            F.expr(prefix_of.format(k="disallow")).alias("disallow_prefixes"),
             F.coalesce(
-                "allow_prefixes", F.array().cast("array<string>")
-            ).alias("allow_prefixes"),
-            F.coalesce(
-                "disallow_prefixes", F.array().cast("array<string>")
-            ).alias("disallow_prefixes"),
-            F.coalesce(
-                "crawl_delay_ms", F.lit(default_delay_ms).cast("long")
+                F.expr(delay), F.lit(default_delay_ms).cast("long")
             ).alias("crawl_delay_ms"),
             F.lit(default_max_parallel).alias("max_parallel"),
         )

@@ -114,46 +114,53 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """Profile-table language ID: integer function-word hit counts per
     language, argmax wins (ties broken by language code ascending);
-    zero hits anywhere → 'und'. Replaces the round-3 two-word density
-    toy — same codegen'd shape, a real language set.
+    zero hits anywhere → 'und'.
 
-    Plan shape: punctuation-stripped lowercase tokens explode once, hit
-    the broadcast (lang, word) profile table (200 rows), and aggregate
-    per (doc, lang) — ONE shuffle keyed by doc id regardless of corpus
-    size, then a per-doc argmax window on the ≤5-row groups. At 100 TB
-    the explode dominates and is embarrassingly parallel; the profile
-    join never shuffles."""
-    spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.split(
-                F.lower(F.regexp_replace(F.col(text_col), LANG_ID_PUNCT, " ")),
-                r"\s+",
-            )
-        ).alias("word"),
-    ).filter(F.col("word") != "")
-    hits = (
-        toks.join(F.broadcast(lang_profiles_df(spark)), "word")
-        .groupBy(id_col, "lang")
-        .agg(F.count("*").alias("score"))
+    Round 7 plan shape: the profiles are compile-time constants, so
+    each language's hit count is an in-row, fully codegen'd
+    ``regexp_count`` of a 40-way word alternation over the normalized
+    text — ZERO shuffles, where the round-6 shape paid a token explode,
+    a per-(doc, lang) aggregation exchange, an argmax window sort and a
+    join-back regardless of corpus size. Token semantics are preserved
+    exactly: the text is space-padded after punctuation-stripping +
+    lowercasing, and the pattern ``\\s(?:w1|...|w40)(?=\\s)`` consumes
+    the token's leading separator only (lookahead on the trailing one),
+    so every whitespace-delimited token occurrence — including
+    consecutive hits sharing one separator — counts once, same as the
+    old explode+join tally. The argmax is a 5-way fold iterating
+    languages ascending with a strict >, which reproduces the
+    (score desc, lang asc) tie-break exactly."""
+    normed = F.concat(
+        F.lit(" "),
+        F.lower(F.regexp_replace(F.col(text_col), LANG_ID_PUNCT, " ")),
+        F.lit(" "),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("lang").asc()
-    )
-    best = (
-        hits.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "lang", "score")
-    )
-    return (
-        docs.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("lang", F.lit("und")).alias("lang_guess"),
-            F.coalesce("score", F.lit(0)).cast("long").alias("lang_score"),
+    langs = sorted(LANG_PROFILES)
+
+    def profile_hits(lg: str) -> F.Column:
+        alt = "|".join(LANG_PROFILES[lg])
+        return F.regexp_count(
+            F.col("_normed"), F.lit(rf"\s(?:{alt})(?=\s)")
         )
+
+    scores = docs.select(F.col(id_col), normed.alias("_normed")).select(
+        id_col,
+        *[profile_hits(lg).alias(f"_s_{lg}") for lg in langs],
+    )
+    best = F.struct(F.lit(-1).alias("score"), F.lit("").alias("lang"))
+    for lg in langs:
+        sc = F.col(f"_s_{lg}")
+        best = (
+            F.when(sc > best["score"],
+                   F.struct(sc.alias("score"), F.lit(lg).alias("lang")))
+            .otherwise(best)
+        )
+    return scores.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("und")).alias("lang_guess"),
+        F.when(best["score"] > 0, best["score"])
+        .otherwise(F.lit(0)).cast("long").alias("lang_score"),
     )
 
 

@@ -185,31 +185,61 @@ def lsh_plane_weight(table: int, plane: int, j) -> F.Column | int:
     return (s * F.lit(2654435761)) % 999983 % 7 - 3
 
 
+def _bucket_array_sql(qv_sql: str, n_planes: int, dim: int,
+                      tables: list[int]) -> str:
+    """SQL text computing ``array<int>`` of bucket ids over an
+    ALREADY-quantized vector expression, one element per entry of
+    ``tables``. The plane weights are compile-time constants (every
+    ``lsh_plane_weight`` argument is a Python int here), baked in as
+    one nested array literal INSIDE A SINGLE ``F.expr`` STRING.
+
+    Why a string (round 7): the round-6.5 spelling built the literal
+    weight arrays with per-element ``F.lit`` Column calls — n_tables ×
+    n_planes × dim ≈ 2,048 py4j round-trips per *plan build*, measured
+    at 4.3-4.9 s of driver-side Python per ``sim_lsh_neighbors`` call
+    (vs 1.3 s of actual execution; bench.py rebuilds the plan every
+    sample, so the build cost was ~75% of the reported number). One
+    expr string is one py4j call; the JVM parses it in milliseconds
+    and constant-folds the weight matrix to a single Literal. Weight
+    VALUES are identical by construction (same weight function,
+    evaluated at string-build time).
+
+    Executed shape per row: for each table, fold the plane index range,
+    each plane one zip_with dot against its literal weight row —
+    exactly the arithmetic the round-6 per-Column spelling ran."""
+    wrows = []
+    for t in tables:
+        for p in range(n_planes):
+            ws = ",".join(
+                f"{lsh_plane_weight(t, p, j)}L" for j in range(dim)
+            )
+            wrows.append(f"array({ws})")
+    wmat = "array(" + ",".join(wrows) + ")"
+    proj = (
+        f"aggregate(zip_with({qv_sql}, "
+        f"element_at({wmat}, t*{n_planes} + p + 1), (x, w) -> x * w), "
+        f"0L, (a, x) -> a + x)"
+    )
+    bucket = (
+        f"aggregate(sequence(0, {n_planes - 1}), 0, "
+        f"(b, p) -> b + IF({proj} > 0, shiftleft(1, p), 0))"
+    )
+    return (
+        f"transform(sequence(0, {len(tables) - 1}), "
+        f"t -> cast({bucket} as int))"
+    )
+
+
 def _bucket_from_quantized(qv_col, n_planes: int = 4, dim: int = 64,
                            table: int = 0) -> F.Column:
     """Bucket id from sign bits over an ALREADY-quantized vector
-    column. The plane weights are compile-time constants (every
-    ``lsh_plane_weight`` argument is a Python int here), so they are
-    baked in as a literal array per plane: the round-6 spelling
-    re-evaluated the multiply-mod weight chain inside the zip_with
-    lambda for every element × plane × table — ~400M interpreted
-    expression evals over the sf1.0 embeddings table, 90%+ of the
-    sim_lsh_neighbors wall clock (guide §1.2 step 2: per-task work).
-    Values are identical by construction (same weight function, now
-    evaluated at plan-build time)."""
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        weights = F.array(*[
-            F.lit(lsh_plane_weight(table, p, j)).cast("long")
-            for j in range(dim)
-        ])
-        proj = F.aggregate(
-            F.zip_with(qv_col, weights, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    column (one table; see ``_bucket_array_sql`` for the plan-build
+    economics). ``qv_col`` is a column name or a Column whose JVM
+    expression renders to SQL (plain column references do)."""
+    qv_sql = qv_col if isinstance(qv_col, str) else qv_col._jc.expr().sql()
+    return F.expr(
+        f"element_at({_bucket_array_sql(qv_sql, n_planes, dim, [table])}, 1)"
+    )
 
 
 def lsh_projection_bucket(vec_col, n_planes: int = 4, dim: int = 64,
@@ -219,25 +249,17 @@ def lsh_projection_bucket(vec_col, n_planes: int = 4, dim: int = 64,
     independent plane family per hash table). Deterministic,
     integer-exact, oracle-reproducible.
 
-    This general-purpose wrapper quantizes inline, so it uses ONE
-    zip_with against a literal weight array per plane (the inline
-    quantize expression appears once per plane, not once per element
-    as the flat spelling would duplicate it). Hot paths that already
-    hold a quantized column use ``_bucket_from_quantized``."""
-    qv = quantize(vec_col)
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        weights = F.array(*[
-            F.lit(lsh_plane_weight(table, p, j)).cast("long")
-            for j in range(dim)
-        ])
-        proj = F.aggregate(
-            F.zip_with(qv, weights, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
-    return bucket.cast("int")
+    General-purpose wrapper: quantizes inline (the quantize expression
+    is bound once via a one-element transform, not once per plane)."""
+    vec_sql = (vec_col if isinstance(vec_col, str)
+               else vec_col._jc.expr().sql())
+    qv_sql = (f"transform({vec_sql},"
+              " x -> cast(round(cast(x as double) * 1000) as long))")
+    inner = _bucket_array_sql("qv", n_planes, dim, [table])
+    return F.expr(
+        f"element_at(transform(array({qv_sql}), qv -> "
+        f"element_at({inner}, 1)), 1)"
+    )
 
 
 def ivf_topk(emb: DataFrame, k: int = 3, n_queries: int = 5,
@@ -353,10 +375,9 @@ def lsh_bucketed_neighbors(emb: DataFrame, k: int = 3, n_queries: int = 5,
     qemb = emb.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
     )
-    buckets = F.array(*[
-        _bucket_from_quantized(F.col("v"), n_planes, dim, table=t)
-        for t in range(n_tables)
-    ])
+    buckets = F.expr(
+        _bucket_array_sql("v", n_planes, dim, list(range(n_tables)))
+    )
     v = qemb.select(
         "id", "v", F.posexplode(buckets).alias("table", "bucket"),
     )
