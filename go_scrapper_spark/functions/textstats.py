@@ -230,7 +230,11 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     Plan: token explode → (doc, term) tf agg → term df agg (broadcast
     back — the term dictionary is tiny next to the corpus) → per-doc
     top-k window partitioned by doc. Two shuffles keyed doc/term, both
-    combiner-friendly."""
+    combiner-friendly. (Round 7 measured the tempting "derive df from
+    a persisted tf" variant at 1.5x SLOWER: the persist serializes the
+    tf and df branches that this shape runs as independent parallel
+    stages, and df-via-distinct is the same two-phase aggregate shape
+    anyway — left as is, deliberately.)"""
     from pyspark.sql import Window
 
     tok = docs.select(
@@ -286,10 +290,15 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     """Document fingerprints: whole-text md5 of the normalized text +
     a winnowing-style min-hash over character 16-grams (the rolling-
     hash fingerprint class, exact via md5 ordering)."""
+    # the normalized text binds ONCE per row via the one-element
+    # transform lambda (the round-6 spelling re-evaluated the
+    # lower(regexp_replace(...)) chain inside the per-gram lambda —
+    # O(len²) regex work per document; see dedupe.word_shingles)
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     grams = F.expr(
-        "transform(sequence(1, greatest(length(lower(regexp_replace(text, '\\\\s+', ' '))) - 15, 1)), "
-        "i -> substring(lower(regexp_replace(text, '\\\\s+', ' ')), i, 16))"
+        f"transform(array(lower(regexp_replace({text_col}, '\\\\s+', ' '))), "
+        "nw -> transform(sequence(1, greatest(length(nw) - 15, 1)), "
+        "                i -> substring(nw, i, 16)))[0]"
     )
     return docs.select(
         F.col(id_col),

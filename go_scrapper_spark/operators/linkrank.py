@@ -34,23 +34,43 @@ from go_scrapper_spark.operators.dedupe import (free_local_checkpoint,
 
 
 def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
-                  damping_permille: int = 850) -> DataFrame:
+                  damping_permille: int = 850,
+                  checkpoint_every: int = 8) -> DataFrame:
     """vertices: (v); edges: (src, dst) directed. Returns (v, rank)
-    in micro-units after ``iters`` rounds."""
+    in micro-units after ``iters`` rounds.
+
+    Driver economics (round 7): the round-6 shape ran an EAGER
+    localCheckpoint per iteration plus one for the degree-joined edge
+    table — iters+1 blocking driver jobs before the caller's action,
+    ~1 s each of fixed job cost at sandbox payloads (measured: 3.1 s
+    wall for 3 iterations whose actual compute was ~0.3 s). A 3-deep
+    join lineage is trivial for Catalyst, so intermediate rounds now
+    stay LAZY: edges_deg is a (lazy) persist filled by the caller's
+    first action, and ranks only checkpoint every ``checkpoint_every``
+    rounds — the lineage-growth guard long runs still need (the plan
+    doubles per round through the shared edges_deg subtree, so
+    unbounded laziness would hit analysis-time blowup, the round-6
+    localCheckpoint lesson). iters <= checkpoint_every ⇒ ZERO driver
+    jobs inside this function."""
     base = 1_000_000 - damping_permille * 1000
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = local_checkpoint_no_stats(vertices.select(
+    # lazy persists: every iteration references both subtrees (the
+    # lazy chain would otherwise recompute the caller's vertex/edge
+    # derivations once per reference — 2 per round for vertices); the
+    # first action materializes each once into the cache
+    edges_deg = edges.join(deg, "src").persist()
+    vertices = vertices.persist()
+    ranks = vertices.select(
         "v", F.lit(1_000_000).cast("long").alias("rank")
-    ))
-    for _ in range(iters):
+    )
+    ckpts: list[DataFrame] = []
+    for i in range(iters):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.v)
             .select("dst", F.expr("rank div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        prev = ranks
         ranks = (
             vertices.join(contrib, vertices.v == contrib.dst, "left")
             .select(
@@ -63,7 +83,9 @@ def pagerank_lite(vertices: DataFrame, edges: DataFrame, iters: int = 3,
                 ).cast("long").alias("rank"),
             )
         )
-        ranks = local_checkpoint_no_stats(ranks)
-        free_local_checkpoint(prev)  # superseded round's blocks
-    free_local_checkpoint(edges_deg)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = local_checkpoint_no_stats(ranks)
+            for prev in ckpts:
+                free_local_checkpoint(prev)
+            ckpts = [ranks]
     return ranks

@@ -109,7 +109,8 @@ def topk_dot(emb: DataFrame, k: int = 3, n_queries: int = 5,
 
 def cosine_near_dup_pairs(emb: DataFrame, num: int = 3, den: int = 10,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          block_size: int = 2048) -> DataFrame:
+                          block_size: int = 2048,
+                          max_blocks: int | None = 32) -> DataFrame:
     """All pairs with cosine ≥ num/den — integer-exact threshold,
     executed as fully distributed blocked matmul (no driver collect,
     no closure-captured matrix — the round-1 scale-killer is gone).
@@ -123,10 +124,28 @@ def cosine_near_dup_pairs(emb: DataFrame, num: int = 3, den: int = 10,
     ``block_size``; at 10⁹ vectors this is the standard distributed
     GEMM tiling, and every tile task scales out across executors. For
     sub-quadratic candidate generation use ``lsh_bucketed_neighbors``;
-    this operator is the exact verifier."""
+    this operator is the exact verifier.
+
+    ``max_blocks`` (round 7) makes the tiling scale-adaptive: shuffle
+    volume is B·n·dim (each chunk replicated B ways), so a block size
+    tuned for a small table quadratically over-replicates a larger one
+    — measured at the 10x sf: B=79 blocks shuffled ~800 MB of chunk
+    copies where B=32 moves ~330 MB for identical output. When
+    n/block_size would exceed ``max_blocks``, block_size grows to
+    ceil(n/max_blocks) (one count-only scan to learn n; block
+    assignment cannot change the result set — every id pair still
+    meets in exactly one bi ≤ bj tile). Pass None to pin block_size
+    exactly. At production scale max_blocks is sized so a chunk pair
+    (~2·block·dim·8 bytes) stays comfortably in task memory."""
+    import math
+
     import numpy as np
     import pandas as pd
 
+    if max_blocks:
+        n = emb.count()
+        if n > block_size * max_blocks:
+            block_size = math.ceil(n / max_blocks)
     v = emb.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
     ).withColumn("blk", F.floor(F.col("id") / block_size).cast("long"))
@@ -272,49 +291,81 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_queries: int = 5,
     candidate vectors — deterministic and oracle-reproducible; a real
     deployment drops in k-means centroids without changing the plan.
 
-    Plan shape: assignment and probing are (rows × C) broadcast
-    crossJoins against the tiny centroid table plus one window each;
-    the search itself is an equi-join on cell id — the crossJoin over
-    the full corpus never happens. At 10⁹ vectors this is the standard
-    IVF layout: cells become the partition key of the candidate table.
-    All arithmetic is exact int64 (quantized milli-units)."""
+    Plan shape (round 7): the tiny centroid table folds to ONE row
+    holding a cid-ordered array of (cid, vector) structs; assignment
+    and probing are broadcast crossJoins against that single row with
+    the argmax / top-nprobe computed IN-ROW over the 8-element array —
+    no per-(row × C) expansion, and no ``Window.partitionBy(id)``,
+    which re-shuffled the whole (corpus × C) expansion just to pick
+    each row's best centroid (the round-6 shape's one full exchange).
+    The search itself stays an equi-join on cell id — the crossJoin
+    over the full corpus never happens. At 10⁹ vectors this is the
+    standard IVF layout: cells become the partition key of the
+    candidate table. All arithmetic is exact int64 (quantized
+    milli-units); tie-breaks ((dot desc, cid asc)) are reproduced by
+    folding cid-ascending with a strict >, and by sorting
+    (-dot, cid) structs ascending for the probe list."""
     v = emb.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
     cand = v.filter(F.col("id") >= n_queries)
     # centroids = the n_centroids lowest-id candidates (TakeOrdered —
-    # no global sort); cid = rank within that tiny set
-    cent = (
+    # no global sort); cid = rank within that tiny set; folded to one
+    # cid-ordered array row (struct sort = lexicographic, cid first)
+    cent1 = (
         cand.orderBy(F.col("id").asc())
         .limit(n_centroids)
         .withColumn(
             "cid",
             F.row_number().over(Window.orderBy(F.col("id").asc())) - 1,
         )
-        .select("cid", F.col("v").alias("cv"))
+        .agg(F.sort_array(
+            F.collect_list(F.struct(F.col("cid"), F.col("v").alias("cv")))
+        ).alias("_cents"))
     )
 
-    w_assign = Window.partitionBy("id").orderBy(
-        F.col("_cdot").desc(), F.col("cid").asc()
-    )
+    def cent_dots(vec_name: str) -> F.Column:
+        # (dot, cid) per centroid, centroid order = cid ascending
+        return F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                dot_int(F.col(vec_name), c["cv"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    best_cid = F.aggregate(
+        F.col("_dots"),
+        F.struct(
+            F.lit(-(1 << 63)).cast("long").alias("d"),
+            F.lit(-1).cast("int").alias("cid"),
+        ),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )["cid"]
     cells = (
-        cand.crossJoin(F.broadcast(cent))
-        .withColumn("_cdot", dot_int(F.col("v"), F.col("cv")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select("id", "v", "cid")
+        cand.crossJoin(F.broadcast(cent1))
+        .withColumn("_dots", cent_dots("v"))
+        .select("id", "v", best_cid.alias("cid"))
     )
 
     q = v.filter(F.col("id") < n_queries).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("_cdot").desc(), F.col("cid").asc()
+    probe_cids = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("_dots"),
+                lambda s: F.struct((-s["d"]).alias("nd"), s["cid"].alias("cid")),
+            )
+        ),
+        1, nprobe,
     )
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("_cdot", dot_int(F.col("qv"), F.col("cv")))
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        q.crossJoin(F.broadcast(cent1))
+        .withColumn("_dots", cent_dots("qv"))
+        .select(
+            "query_id", "qv",
+            F.explode(F.transform(probe_cids, lambda s: s["cid"]))
+            .alias("cid"),
+        )
     )
 
     scored = F.broadcast(probes).join(cells, "cid").select(
