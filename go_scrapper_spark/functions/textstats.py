@@ -8,7 +8,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # function-word list for the density heuristic (the synthetic corpus
