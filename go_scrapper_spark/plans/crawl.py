@@ -202,6 +202,23 @@ class CrawlEngine:
         # consistent when control leaves the engine
         self._commit_future = None
         self._commit_pool = None
+        # wave-invariant Column cache (round 7): every Column/lit call
+        # is a py4j round-trip, and the wave loop used to rebuild
+        # ~4,000 identical expression objects per superstep — profiled
+        # as the bulk of the per-wave "plan" phase (driver-only Python,
+        # 0.5-0.8 s/wave; Catalyst itself is ~0.02 s). Columns are
+        # immutable unresolved expressions, so the static ones are
+        # built once and reused across waves; only genuinely per-wave
+        # values (the wave_id literal) are constructed per superstep.
+        self._col_cache: dict = {}
+
+    def _cc(self, key: str, build):
+        """Build-once cache for wave-invariant Column expressions."""
+        col = self._col_cache.get(key)
+        if col is None:
+            col = build()
+            self._col_cache[key] = col
+        return col
 
     def _join_commit(self) -> None:
         """Wait for the in-flight async commit (if any); re-raises its
@@ -439,11 +456,14 @@ class CrawlEngine:
         # transient failures and its eventual success/exhaustion all
         # happen inside the politeness slot that dequeued it. fa = the
         # number of leading attempts that fail transiently.
-        max_a = F.lit(cfg.max_attempts)
-        fa_expr = (
-            cfg.fail_attempts_col()
-            if cfg.fail_attempts_col is not None
-            else self._fail_attempts(F.col("url"))
+        max_a = self._cc("max_a", lambda: F.lit(cfg.max_attempts))
+        fa_expr = self._cc(
+            "fa_expr",
+            lambda: (
+                cfg.fail_attempts_col()
+                if cfg.fail_attempts_col is not None
+                else self._fail_attempts(F.col("url"))
+            ),
         )
         if cfg.transport_factory is not None:
             from go_scrapper_spark.operators.transport import fetch_with_transport
@@ -462,20 +482,20 @@ class CrawlEngine:
             ).withColumn("_fa", fa_expr)
         fetched = (
             fetch_base
-            .withColumn(
-                "_succ",
-                F.col("html").isNotNull() & (F.col("_fa") < max_a - F.col("attempt")),
-            )
-            .withColumn(
-                "_n_attempts",
+            .withColumn("_succ", self._cc("f_succ", lambda: (
+                F.col("html").isNotNull()
+                & (F.col("_fa") < max_a - F.col("attempt"))
+            )))
+            .withColumn("_n_attempts", self._cc("f_natt", lambda: (
                 F.when(F.col("_succ"), F.col("_fa") + 1 - F.col("attempt"))
-                .otherwise(max_a - F.col("attempt")),
-            )
-            .withColumn(
-                "status", F.when(F.col("_succ"), F.lit(200)).otherwise(
-                    F.when(F.col("html").isNotNull(), F.lit(503)).otherwise(F.lit(404))
+                .otherwise(max_a - F.col("attempt"))
+            )))
+            .withColumn("status", self._cc("f_status", lambda: (
+                F.when(F.col("_succ"), F.lit(200)).otherwise(
+                    F.when(F.col("html").isNotNull(), F.lit(503))
+                    .otherwise(F.lit(404))
                 )
-            )
+            )))
             .persist()
         )
 
@@ -518,25 +538,30 @@ class CrawlEngine:
             log_src.select(
                 F.lit(wave_id).cast("long").alias("wave_id"),
                 "host", "url", "depth", "seq", "html", "_fa", *ck_cols,
-                F.explode(
+                self._cc("fl_att", lambda: F.explode(
                     F.sequence(
                         F.col("attempt"),
                         F.col("attempt") + F.col("_n_attempts") - 1,
                     )
-                ).alias("_att"),
+                ).alias("_att")),
             )
             .select(
                 "wave_id", "host", "url", "depth", "seq",
-                att_i.alias("attempt"),
-                F.when(att_i < F.col("_fa"), F.lit(503))
-                .when(F.col("html").isNotNull(), F.lit(200))
-                .otherwise(F.lit(404))
-                .alias("status"),
-                ua_col(F.col("url"), att_i).alias("ua"),
-                F.when(
-                    (att_i >= F.col("_fa")) & F.col("html").isNotNull(),
-                    F.length("html"),
-                ).otherwise(F.lit(0)).cast("long").alias("n_bytes"),
+                self._cc("fl_attempt", lambda: att_i.alias("attempt")),
+                self._cc("fl_status", lambda: (
+                    F.when(att_i < F.col("_fa"), F.lit(503))
+                    .when(F.col("html").isNotNull(), F.lit(200))
+                    .otherwise(F.lit(404))
+                    .alias("status")
+                )),
+                self._cc("fl_ua",
+                         lambda: ua_col(F.col("url"), att_i).alias("ua")),
+                self._cc("fl_bytes", lambda: (
+                    F.when(
+                        (att_i >= F.col("_fa")) & F.col("html").isNotNull(),
+                        F.length("html"),
+                    ).otherwise(F.lit(0)).cast("long").alias("n_bytes")
+                )),
                 *ck_cols,
             )
         )
@@ -616,17 +641,23 @@ class CrawlEngine:
         # fetched on success, failed after the 5-attempt budget.
         upd = fetched.select(
             "url",
-            F.when(F.col("_succ"), F.lit("fetched"))
-            .otherwise(F.lit("failed"))
-            .alias("_new_state"),
-            (F.col("attempt") + F.col("_n_attempts")).alias("_new_attempt"),
+            self._cc("fm_state", lambda: (
+                F.when(F.col("_succ"), F.lit("fetched"))
+                .otherwise(F.lit("failed"))
+                .alias("_new_state")
+            )),
+            self._cc("fm_attempt", lambda: (
+                F.col("attempt") + F.col("_n_attempts")
+            ).alias("_new_attempt")),
         )
         frontier_next = (
             frontier.join(upd, "url", "left")
             .select(
                 "url", "url_hash", "host", "host_bucket", "depth", "seq", "fpo",
-                F.coalesce("_new_attempt", "attempt").alias("attempt"),
-                F.coalesce("_new_state", "state").alias("state"),
+                self._cc("fm_att2", lambda: F.coalesce(
+                    "_new_attempt", "attempt").alias("attempt")),
+                self._cc("fm_state2", lambda: F.coalesce(
+                    "_new_state", "state").alias("state")),
                 F.when(F.col("_new_state").isNotNull(), F.lit(wave_id).cast("long"))
                 .otherwise(F.col("wave_id"))
                 .alias("wave_id"),
@@ -998,14 +1029,18 @@ class CrawlEngine:
     ) -> DataFrame:
         cfg = self.cfg
         cand = (
-            union.filter(F.col("kind") == "outlink")
+            union.filter(self._cc(
+                "nf_outlink", lambda: F.col("kind") == "outlink"))
             .select(
-                F.col("out_url").alias("url"),
-                F.col("out_depth").alias("depth"),
-                F.col("out_seq").alias("seq"),
-                F.coalesce(F.col("out_fpo"), F.lit(0)).alias("fpo"),
+                self._cc("nf_url", lambda: F.col("out_url").alias("url")),
+                self._cc("nf_depth",
+                         lambda: F.col("out_depth").alias("depth")),
+                self._cc("nf_seq", lambda: F.col("out_seq").alias("seq")),
+                self._cc("nf_fpo", lambda: F.coalesce(
+                    F.col("out_fpo"), F.lit(0)).alias("fpo")),
             )
-            .withColumn("host", _host_col(F.col("url")))
+            .withColumn("host", self._cc(
+                "nf_host", lambda: _host_col(F.col("url"))))
         )
         cand = apply_robots(cand, self.robots)
         # in-wave dedup: first discovery wins (min (depth, seq, fpo) per
@@ -1022,35 +1057,41 @@ class CrawlEngine:
         # the min-ordering (wrong canonical discovery). One codegen'd
         # branch per row; raise_error aborts the wave with the
         # offending values in the message.
-        in_bounds = (
-            (F.col("depth") >= 0) & (F.col("depth") < F.lit(1 << 17))
-            & (F.col("seq") >= 0) & (F.col("seq") < F.lit(1 << 44))
-            & F.col("fpo").isin(0, 1)
-        )
-        pack = F.when(
-            in_bounds,
-            (F.col("depth").cast("long") * F.lit(1 << 45) + F.col("seq")) * 2
-            + F.col("fpo"),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("frontier pack overflow: depth="),
-                    F.col("depth").cast("string"),
-                    F.lit(" seq="), F.col("seq").cast("string"),
-                    F.lit(" fpo="), F.col("fpo").cast("string"),
-                    F.lit(" (bounds: depth<2^17, seq<2^44, fpo in {0,1})"),
-                )
-            ).cast("long")
-        )
-        rest = F.expr("_p div 2")
+        def _build_min_pack():
+            in_bounds = (
+                (F.col("depth") >= 0) & (F.col("depth") < F.lit(1 << 17))
+                & (F.col("seq") >= 0) & (F.col("seq") < F.lit(1 << 44))
+                & F.col("fpo").isin(0, 1)
+            )
+            pack = F.when(
+                in_bounds,
+                (F.col("depth").cast("long") * F.lit(1 << 45)
+                 + F.col("seq")) * 2
+                + F.col("fpo"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("frontier pack overflow: depth="),
+                        F.col("depth").cast("string"),
+                        F.lit(" seq="), F.col("seq").cast("string"),
+                        F.lit(" fpo="), F.col("fpo").cast("string"),
+                        F.lit(" (bounds: depth<2^17, seq<2^44, fpo in {0,1})"),
+                    )
+                ).cast("long")
+            )
+            return F.min(pack).alias("_p")
+
         cand = (
             cand.groupBy("url", "host")
-            .agg(F.min(pack).alias("_p"))
+            .agg(self._cc("nf_min_pack", _build_min_pack))
             .select(
                 "url", "host",
-                F.expr(f"(_p div 2) div {1 << 45}").cast("int").alias("depth"),
-                (rest % F.lit(1 << 45)).alias("seq"),
-                (F.col("_p") % 2).cast("int").alias("fpo"),
+                self._cc("nf_unpack_depth", lambda: F.expr(
+                    f"(_p div 2) div {1 << 45}").cast("int").alias("depth")),
+                self._cc("nf_unpack_seq", lambda: (
+                    F.expr("_p div 2") % F.lit(1 << 45)).alias("seq")),
+                self._cc("nf_unpack_fpo", lambda: (
+                    F.col("_p") % 2).cast("int").alias("fpo")),
             )
         )
         # cross-superstep dedup (exact J3): with use_bloom, the
@@ -1076,14 +1117,20 @@ class CrawlEngine:
             )
         return cand.select(
             "url",
-            F.xxhash64("url").alias("url_hash"),
+            self._cc("nf_url_hash",
+                     lambda: F.xxhash64("url").alias("url_hash")),
             "host",
-            F.pmod(F.xxhash64("host"), F.lit(cfg.n_buckets)).cast("int").alias("host_bucket"),
+            self._cc("nf_host_bucket", lambda: F.pmod(
+                F.xxhash64("host"), F.lit(cfg.n_buckets)
+            ).cast("int").alias("host_bucket")),
             "depth", "seq", "fpo",
-            F.lit(0).alias("attempt"),
-            F.lit("pending").alias("state"),
+            self._cc("nf_attempt", lambda: F.lit(0).alias("attempt")),
+            self._cc("nf_state", lambda: F.lit("pending").alias("state")),
             F.lit(wave_id).cast("long").alias("wave_id"),
-            self._probe_window_col().alias("probe_window"),
+            # probe_window depends only on the run's task keys (loaded
+            # once before wave 1), so it is wave-invariant too
+            self._cc("nf_probe_window", lambda:
+                     self._probe_window_col().alias("probe_window")),
         )
 
     # ------------------------------------------------- incremental (G3)
@@ -1233,33 +1280,41 @@ class CrawlEngine:
         encodes non-empty). review_hash was computed pre-b64 in the
         extractor (hash-then-encode order, main.go:985-987)."""
 
-        def b64(col):
-            return F.when(
-                F.length(col) > 0, F.base64(F.col(col).cast("binary"))
-            ).otherwise(F.col(col))
+        def _build_static_cols():
+            def b64(col):
+                return F.when(
+                    F.length(col) > 0, F.base64(F.col(col).cast("binary"))
+                ).otherwise(F.col(col))
+
+            return [
+                "url",
+                "parent_id", "review_id", "author_id",
+                b64("author_name").alias("author_name"),
+                b64("text").alias("text"),
+                "rating", "source_date",
+                F.unix_timestamp(
+                    F.to_timestamp("source_date", "M/d/yyyy")
+                ).alias("posted_at"),
+                F.lit(RUN_TS).cast("long").alias("scraped_at"),
+                "not_recommended", "photos",
+                F.transform(
+                    "responses",
+                    lambda r: F.struct(
+                        F.when(F.length(r["author_name"]) > 0,
+                               F.base64(r["author_name"].cast("binary")))
+                        .otherwise(r["author_name"]).alias("author_name"),
+                        F.when(F.length(r["text"]) > 0,
+                               F.base64(r["text"].cast("binary")))
+                        .otherwise(r["text"]).alias("text"),
+                        r["posted_at"].alias("posted_at"),
+                    ),
+                ).alias("responses"),
+                "review_hash",
+                "arrival_idx",
+            ]
 
         return reviews.select(
-            "url",
-            "parent_id", "review_id", "author_id",
-            b64("author_name").alias("author_name"),
-            b64("text").alias("text"),
-            "rating", "source_date",
-            F.unix_timestamp(F.to_timestamp("source_date", "M/d/yyyy")).alias("posted_at"),
-            F.lit(RUN_TS).cast("long").alias("scraped_at"),
-            "not_recommended", "photos",
-            F.transform(
-                "responses",
-                lambda r: F.struct(
-                    F.when(F.length(r["author_name"]) > 0,
-                           F.base64(r["author_name"].cast("binary")))
-                    .otherwise(r["author_name"]).alias("author_name"),
-                    F.when(F.length(r["text"]) > 0, F.base64(r["text"].cast("binary")))
-                    .otherwise(r["text"]).alias("text"),
-                    r["posted_at"].alias("posted_at"),
-                ),
-            ).alias("responses"),
-            "review_hash",
-            "arrival_idx",
+            *self._cc("finish_reviews_cols", _build_static_cols),
             F.lit(wave_id).cast("long").alias("wave_id"),
         )
 
