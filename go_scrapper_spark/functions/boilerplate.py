@@ -68,7 +68,8 @@ def _visible_text(col: F.Column) -> F.Column:
 def extract_main_content(pages: DataFrame, id_col: str = "url",
                          html_col: str = "html",
                          min_text_len: int = 25,
-                         max_link_density_pct: int = 33) -> DataFrame:
+                         max_link_density_pct: int = 33,
+                         carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """One row per page: (id, main_text, n_blocks, n_good,
     total_chars, kept_chars).
 
@@ -88,7 +89,14 @@ def extract_main_content(pages: DataFrame, id_col: str = "url",
     kept subset are materialized as real intermediate columns (one
     evaluation per row; CollapseProject does not re-inline non-cheap
     expressions used more than once), and block order is the array
-    order — no idx bookkeeping, no array_sort."""
+    order — no idx bookkeeping, no array_sort.
+
+    ``carry_cols`` rides extra input columns through to the output
+    unchanged — free now that the operator is one projection, and it
+    lets callers drop the pages ⋈ result join-back entirely (measured
+    at 10M docs: that join double-scans the html-bearing page
+    checkpoint, ~295 s vs 59 s for the joinless shape — the dominant
+    front-end term in jobs/corpus.py at scale)."""
     html = F.col(html_col).cast("string")
     cleaned = F.regexp_replace(html, F.lit(DROP_SUBTREES_RE), F.lit(" "))
 
@@ -129,7 +137,8 @@ def extract_main_content(pages: DataFrame, id_col: str = "url",
         )
 
     return (
-        pages.select(F.col(id_col).alias("_id"), scored_arr.alias("_blocks"))
+        pages.select(F.col(id_col).alias("_id"), *carry_cols,
+                     scored_arr.alias("_blocks"))
         .filter(F.size("_blocks") > 0)
         .withColumn("_kept", F.filter(F.col("_blocks"), good))
         .select(
@@ -141,5 +150,6 @@ def extract_main_content(pages: DataFrame, id_col: str = "url",
             F.size("_kept").cast("long").alias("n_good"),
             char_sum("_blocks").alias("total_chars"),
             char_sum("_kept").alias("kept_chars"),
+            *carry_cols,
         )
     )

@@ -72,10 +72,14 @@ def warc_front_end(files_df, host_template_den: int = 0):
     from go_scrapper_spark.sources.warc import warc_to_pages
 
     pages = warc_to_pages(files_df)
-    main = extract_main_content(pages, id_col="url")
+    # carry warc_ts through the (now joinless) boilerplate projection:
+    # the old pages ⋈ main join-back double-scanned the html-bearing
+    # page set — measured at 10M docs as the dominant front-end term
+    # (~295 s vs 59 s for this shape; BASELINE.md round 7)
+    main = extract_main_content(pages, id_col="url",
+                                carry_cols=("warc_ts",))
     docs = (
-        pages.select("url", "warc_ts")
-        .join(main.filter(F.col("n_good") > 0), "url")
+        main.filter(F.col("n_good") > 0)
         .select(
             # full 64-bit content-addressed id (r6: the previous
             # pmod(·, 2^43) narrowing birthday-collides at ~2^21 urls,
