@@ -254,6 +254,9 @@ class CrawlEngine:
         # candidate extraction — evaluates twice
         seeds_df = seeds_df.persist()
         self._inc_hashes = {}
+        # the cached probe-window Column derives from the task keys —
+        # drop it so a (re-)seed can never serve a stale schedule
+        self._col_cache.pop("nf_probe_window", None)
         # filter server-side: only incremental tasks reach the driver
         # (a 10^5-task batch with no hashes collects ZERO rows, not all)
         inc_rows = (
